@@ -1,0 +1,43 @@
+"""Model factory: config dict -> Flax module (utils/module_select.py analog)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from podtpu.models.yolov1 import YoloV1
+from podtpu.models.yolov2 import YoloV2
+from podtpu.models.yolov3 import YoloV3
+from podtpu.models.yolov4_tiny import YoloV4Tiny
+
+_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+}
+
+
+def compute_dtype(cfg: dict):
+    return _DTYPES[cfg.get("compute_dtype", "float32")]
+
+
+def build_model(cfg: dict):
+    """Instantiate the detector named by ``cfg['model']``."""
+    name = cfg["model"]
+    dtype = compute_dtype(cfg)
+    num_classes = cfg["num_classes"]
+    if name == "yolov1":
+        return YoloV1(num_classes=num_classes, num_boxes=cfg["num_boxes"], dtype=dtype)
+    if name == "yolov2":
+        return YoloV2(
+            num_classes=num_classes,
+            num_anchors=len(cfg["scaled_anchors"]),
+            dtype=dtype,
+        )
+    if name == "yolov3":
+        return YoloV3(
+            num_classes=num_classes, num_anchors=len(cfg["anchors"]), dtype=dtype
+        )
+    if name == "yolov4-tiny":
+        return YoloV4Tiny(
+            num_classes=num_classes, num_anchors=len(cfg["anchors"]), dtype=dtype
+        )
+    raise ValueError(f"unknown model '{name}'")

@@ -1,0 +1,118 @@
+"""Core conv building blocks (NHWC, MXU-friendly).
+
+TPU-native counterparts of the reference's ``Conv2dBnRelu / Conv2dBnAct /
+Conv2dBn / V4TinyBlock`` (models/layers/conv_block.py:5-70):
+
+* convolutions are bias-free with torch-style symmetric ``(k-1)//2`` padding
+  (explicit pad pairs, *not* XLA 'SAME', which aligns stride-2 windows
+  differently);
+* BatchNorm uses the torch defaults the reference actually trained with
+  (eps=1e-5, running-stat momentum 0.1 -> flax momentum 0.9; the reference's
+  ``initialize_weights`` that would change eps/momentum is never called —
+  models/initialize.py:21-30 per SURVEY.md);
+* activations default to plain ReLU (conv_block.py:14 — not leaky);
+* compute runs in ``dtype`` (bf16 on TPU) with f32 params and f32 BN
+  statistics; XLA fuses the BN+act epilogue into the conv.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class ConvBnAct(nn.Module):
+    """Conv2d(pad=(k-1)//2, bias=False) + BatchNorm + activation."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    act: Callable | None = nn.relu  # None => linear (Conv2dBn)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = (self.kernel_size - 1) // 2
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding=((p, p), (p, p)),
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x.astype(jnp.float32))
+        if self.act is not None:
+            x = self.act(x)
+        return x.astype(self.dtype)
+
+
+class HeadConv(nn.Module):
+    """The raw 1x1 prediction conv (bias=False like the reference heads,
+    e.g. models/detector/yolov3.py:56). Output stays f32 for a stable loss."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features,
+            (1, 1),
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        return x.astype(jnp.float32)
+
+
+class V4TinyBlock(nn.Module):
+    """CSP-ish partial block: 3x3 -> 3x3 -> concat -> 1x1 (conv_block.py:57-70)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBnAct(self.features, 3, dtype=self.dtype, name="conv1")(x, train)
+        x = ConvBnAct(self.features, 3, dtype=self.dtype, name="conv2")(y, train)
+        x = jnp.concatenate([x, y], axis=-1)
+        x = ConvBnAct(self.features * 2, 1, dtype=self.dtype, name="conv3")(x, train)
+        return x
+
+
+def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """torch MaxPool2d(2, 2) == VALID 2x2/2 pooling (floor division)."""
+    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2), padding="VALID")
+
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """nn.Upsample(scale_factor=2) nearest-neighbor, NHWC."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def passthrough_reorg(x: jnp.ndarray) -> jnp.ndarray:
+    """YOLOv2's raw ``.view(bs, -1, h//2, w//2)`` passthrough.
+
+    The reference is NOT a true space-to-depth: it reinterprets the
+    contiguous NCHW buffer (models/detector/yolov2.py:45-46). Reproduce those
+    exact semantics by round-tripping through NCHW ordering.
+    """
+    b, h, w, c = x.shape
+    x = jnp.transpose(x, (0, 3, 1, 2))  # NCHW
+    x = x.reshape(b, c * 4, h // 2, w // 2)
+    return jnp.transpose(x, (0, 2, 3, 1))
