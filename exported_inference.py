@@ -1,0 +1,50 @@
+"""Benchmark an exported StableHLO artifact (onnx_inference.py:23-51 analog):
+load, run over images (or random inputs), print average FPS.
+
+    python exported_inference.py --model model.stablehlo [--iters 100]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from podtpu.config import setup_platform
+import time
+
+import jax
+import numpy as np
+
+from podtpu.export.stablehlo import inspect_exported, load_exported
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", required=True, type=str)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--platform", type=str, default=None,
+                    help="pin JAX backend (e.g. cpu) for local runs")
+    args = ap.parse_args()
+    setup_platform(args.platform)
+
+    info = inspect_exported(args.model)
+    shape_str = info["in_avals"][0]
+    print(f"input: {shape_str}")
+    fn = load_exported(args.model)
+
+    # parse "float32[1,416,416,3]"-style aval
+    dims = [int(d) for d in shape_str.split("[")[1].rstrip("]").split(",")]
+    x = np.random.default_rng(0).uniform(0, 1, dims).astype(np.float32)
+
+    out = fn(x)  # compile
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = fn(x)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = args.iters * dims[0] / dt
+    print(f"avg latency: {1000 * dt / args.iters:.2f} ms  |  {fps:.1f} FPS")
+
+
+if __name__ == "__main__":
+    main()

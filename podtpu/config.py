@@ -54,6 +54,17 @@ DEFAULTS: dict[str, Any] = {
 }
 
 
+def setup_platform(platform: str | None):
+    """Pin the JAX backend. The deployment environment may pre-register a
+    remote-TPU platform at interpreter start (overriding JAX_PLATFORMS), so
+    an explicit ``jax.config`` update is the only reliable override —
+    use ``--platform cpu`` on any CLI for local/CI runs."""
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def load_yaml_file(file: str) -> dict:
     with open(file, "r") as f:
         return yaml.load(f, Loader=_ConfigLoader)

@@ -1,0 +1,260 @@
+"""Host-side image augmentations (numpy / cv2).
+
+Independent implementations of the two augmentation pipelines the reference
+uses (SURVEY.md §2.3):
+
+* the Ultralytics-style **letterbox pipeline** that produced the published
+  YOLOv3 numbers — aspect-preserving resize, pad-to-square with gray 114,
+  random affine (translate 0.1 / scale 0.5), HSV jitter (0.015/0.7/0.4),
+  horizontal flip p=0.5 (dataset/detection/datasets.py:33-91,
+  augmentations.py:47-210);
+* the **simple pipeline** used by the v1/v2/v4-tiny recipes — hflip, CLAHE,
+  color jitter (0.5/0.2/0.5/0.1), random-resized-crop scale (0.5, 1) ratio
+  (0.4, 1.6) with min_visibility 0.3, /255 normalize
+  (dataset/detection/yolo_dataset.py:58-76).
+
+All functions take an explicit ``np.random.Generator`` so a sample is a pure
+function of (image, labels, seed) — deterministic, resumable, and
+shardable across hosts. Boxes are [N, 5] rows; the letterbox path uses
+``[cls, x1, y1, x2, y2]`` pixels mid-pipeline, the public batch format is
+``[cx, cy, w, h, cls]`` normalized.
+"""
+
+from __future__ import annotations
+
+import math
+
+import cv2
+import numpy as np
+
+GRAY = 114
+
+
+# --------------------------------------------------------------------------
+# letterbox pipeline pieces
+# --------------------------------------------------------------------------
+
+def load_resized(path: str, target: int, augment: bool):
+    """Read BGR image and pre-resize so max(h, w) == target.
+
+    INTER_AREA for downscale at eval, INTER_LINEAR when augmenting
+    (datasets.py:172-182 behavior).
+    """
+    im = cv2.imread(path)
+    if im is None:
+        raise FileNotFoundError(f"image not found: {path}")
+    h0, w0 = im.shape[:2]
+    r = target / max(h0, w0)
+    if r != 1:
+        interp = cv2.INTER_AREA if (r < 1 and not augment) else cv2.INTER_LINEAR
+        im = cv2.resize(im, (int(w0 * r), int(h0 * r)), interpolation=interp)
+    return im, (h0, w0), im.shape[:2]
+
+
+def letterbox(im: np.ndarray, new_size: int, scaleup: bool = True):
+    """Pad-to-square with gray borders; returns (img, ratio, (dw, dh))."""
+    h, w = im.shape[:2]
+    r = min(new_size / h, new_size / w)
+    if not scaleup:
+        r = min(r, 1.0)
+    new_w, new_h = int(round(w * r)), int(round(h * r))
+    dw = (new_size - new_w) / 2
+    dh = (new_size - new_h) / 2
+    if (w, h) != (new_w, new_h):
+        im = cv2.resize(im, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+    top, bottom = int(round(dh - 0.1)), int(round(dh + 0.1))
+    left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
+    im = cv2.copyMakeBorder(
+        im, top, bottom, left, right, cv2.BORDER_CONSTANT,
+        value=(GRAY, GRAY, GRAY),
+    )
+    return im, (r, r), (dw, dh)
+
+
+def box_survivors(before: np.ndarray, after: np.ndarray, scale: float,
+                  wh_thr: float = 2.0, ar_thr: float = 20.0,
+                  area_thr: float = 0.1) -> np.ndarray:
+    """Which warped boxes remain valid (min size / aspect / area-retention)."""
+    eps = 1e-16
+    w1 = (before[:, 2] - before[:, 0]) * scale
+    h1 = (before[:, 3] - before[:, 1]) * scale
+    w2 = after[:, 2] - after[:, 0]
+    h2 = after[:, 3] - after[:, 1]
+    ar = np.maximum(w2 / (h2 + eps), h2 / (w2 + eps))
+    return (
+        (w2 > wh_thr)
+        & (h2 > wh_thr)
+        & (w2 * h2 / (w1 * h1 + eps) > area_thr)
+        & (ar < ar_thr)
+    )
+
+
+def random_affine(
+    im: np.ndarray,
+    boxes_xyxy: np.ndarray,
+    rng: np.random.Generator,
+    degrees: float = 0.0,
+    translate: float = 0.1,
+    scale: float = 0.5,
+    shear: float = 0.0,
+):
+    """Random rotation/scale/shear/translation of image + pixel-xyxy boxes.
+
+    boxes_xyxy: [N, 5] rows [cls, x1, y1, x2, y2].
+    """
+    height, width = im.shape[:2]
+
+    # Build the combined 3x3 transform: translate(center) -> rot/scale ->
+    # shear -> translate(random). Draw order matches a natural pipeline; the
+    # distributions are the ones the active recipe uses.
+    c = np.eye(3)
+    c[0, 2] = -width / 2
+    c[1, 2] = -height / 2
+
+    r = np.eye(3)
+    angle = rng.uniform(-degrees, degrees)
+    s = rng.uniform(1 - scale, 1 + scale)
+    rot = cv2.getRotationMatrix2D(angle=angle, center=(0, 0), scale=s)
+    r[:2] = rot
+
+    sh = np.eye(3)
+    sh[0, 1] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    sh[1, 0] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+
+    t = np.eye(3)
+    t[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * width
+    t[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * height
+
+    m = t @ sh @ r @ c
+    if not np.allclose(m, np.eye(3)):
+        im = cv2.warpAffine(im, m[:2], dsize=(width, height),
+                            borderValue=(GRAY, GRAY, GRAY))
+
+    n = len(boxes_xyxy)
+    if n:
+        corners = np.ones((n * 4, 3))
+        corners[:, :2] = boxes_xyxy[:, [1, 2, 3, 4, 1, 4, 3, 2]].reshape(n * 4, 2)
+        warped = (corners @ m.T)[:, :2].reshape(n, 8)
+        xs = warped[:, [0, 2, 4, 6]]
+        ys = warped[:, [1, 3, 5, 7]]
+        new = np.stack(
+            [xs.min(1), ys.min(1), xs.max(1), ys.max(1)], axis=1
+        )
+        new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
+        new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
+        keep = box_survivors(boxes_xyxy[:, 1:5], new, s)
+        boxes_xyxy = boxes_xyxy[keep]
+        boxes_xyxy[:, 1:5] = new[keep]
+    return im, boxes_xyxy
+
+
+def augment_hsv(im: np.ndarray, rng: np.random.Generator,
+                hgain: float = 0.015, sgain: float = 0.7, vgain: float = 0.4
+                ) -> np.ndarray:
+    """In-place style HSV jitter via channel LUTs (BGR input)."""
+    gains = rng.uniform(-1, 1, 3) * (hgain, sgain, vgain) + 1
+    hue, sat, val = cv2.split(cv2.cvtColor(im, cv2.COLOR_BGR2HSV))
+    x = np.arange(256, dtype=gains.dtype)
+    lut_h = ((x * gains[0]) % 180).astype(im.dtype)
+    lut_s = np.clip(x * gains[1], 0, 255).astype(im.dtype)
+    lut_v = np.clip(x * gains[2], 0, 255).astype(im.dtype)
+    hsv = cv2.merge((cv2.LUT(hue, lut_h), cv2.LUT(sat, lut_s),
+                     cv2.LUT(val, lut_v)))
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+
+
+# --------------------------------------------------------------------------
+# simple pipeline pieces (v1/v2/v4-tiny recipes)
+# --------------------------------------------------------------------------
+
+def clahe(im: np.ndarray) -> np.ndarray:
+    """Contrast-limited adaptive histogram equalization on the luma channel."""
+    lab = cv2.cvtColor(im, cv2.COLOR_RGB2LAB)
+    op = cv2.createCLAHE(clipLimit=4.0, tileGridSize=(8, 8))
+    lab[:, :, 0] = op.apply(lab[:, :, 0])
+    return cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
+
+
+def color_jitter(im: np.ndarray, rng: np.random.Generator,
+                 brightness: float = 0.5, contrast: float = 0.2,
+                 saturation: float = 0.5, hue: float = 0.1) -> np.ndarray:
+    """Random brightness/contrast/saturation/hue (RGB uint8)."""
+    img = im.astype(np.float32)
+    b = rng.uniform(max(0, 1 - brightness), 1 + brightness)
+    img *= b
+    c = rng.uniform(max(0, 1 - contrast), 1 + contrast)
+    mean = img.mean()
+    img = (img - mean) * c + mean
+    img = np.clip(img, 0, 255).astype(np.uint8)
+
+    hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.float32)
+    s = rng.uniform(max(0, 1 - saturation), 1 + saturation)
+    hsv[:, :, 1] = np.clip(hsv[:, :, 1] * s, 0, 255)
+    h_shift = rng.uniform(-hue, hue) * 180
+    hsv[:, :, 0] = (hsv[:, :, 0] + h_shift) % 180
+    return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+
+
+def random_resized_crop(
+    im: np.ndarray,
+    boxes: np.ndarray,
+    rng: np.random.Generator,
+    out_size: int,
+    scale: tuple[float, float] = (0.5, 1.0),
+    ratio: tuple[float, float] = (0.4, 1.6),
+    min_visibility: float = 0.3,
+):
+    """Random crop (area in ``scale``, aspect in ``ratio``) resized to square.
+
+    boxes: [N, 5] normalized [cx, cy, w, h, cls]; boxes keeping less than
+    ``min_visibility`` of their area are dropped (the bbox_params contract of
+    the reference's transform: yolo_dataset.py:70).
+    """
+    h, w = im.shape[:2]
+    area = h * w
+    for _ in range(10):
+        target_area = rng.uniform(*scale) * area
+        aspect = math.exp(rng.uniform(math.log(ratio[0]), math.log(ratio[1])))
+        cw = int(round(math.sqrt(target_area * aspect)))
+        ch = int(round(math.sqrt(target_area / aspect)))
+        if 0 < cw <= w and 0 < ch <= h:
+            x0 = int(rng.integers(0, w - cw + 1))
+            y0 = int(rng.integers(0, h - ch + 1))
+            break
+    else:
+        cw = ch = min(h, w)
+        x0 = (w - cw) // 2
+        y0 = (h - ch) // 2
+
+    crop = im[y0:y0 + ch, x0:x0 + cw]
+    crop = cv2.resize(crop, (out_size, out_size), interpolation=cv2.INTER_LINEAR)
+
+    if len(boxes):
+        x1 = boxes[:, 0] * w - boxes[:, 2] * w / 2
+        y1 = boxes[:, 1] * h - boxes[:, 3] * h / 2
+        x2 = boxes[:, 0] * w + boxes[:, 2] * w / 2
+        y2 = boxes[:, 1] * h + boxes[:, 3] * h / 2
+        full = (x2 - x1) * (y2 - y1)
+        cx1 = np.clip(x1 - x0, 0, cw)
+        cy1 = np.clip(y1 - y0, 0, ch)
+        cx2 = np.clip(x2 - x0, 0, cw)
+        cy2 = np.clip(y2 - y0, 0, ch)
+        vis = (cx2 - cx1).clip(0) * (cy2 - cy1).clip(0) / (full + 1e-9)
+        keep = vis >= min_visibility
+        out = np.zeros((keep.sum(), 5), np.float32)
+        out[:, 0] = (cx1[keep] + cx2[keep]) / 2 / cw
+        out[:, 1] = (cy1[keep] + cy2[keep]) / 2 / ch
+        out[:, 2] = (cx2[keep] - cx1[keep]) / cw
+        out[:, 3] = (cy2[keep] - cy1[keep]) / ch
+        out[:, 4] = boxes[keep, 4]
+        boxes = out
+    return crop, boxes
+
+
+def hflip(im: np.ndarray, boxes: np.ndarray):
+    """Horizontal flip; boxes normalized [cx, cy, w, h, cls]."""
+    im = np.ascontiguousarray(im[:, ::-1])
+    if len(boxes):
+        boxes = boxes.copy()
+        boxes[:, 0] = 1.0 - boxes[:, 0]
+    return im, boxes

@@ -1,0 +1,161 @@
+"""YOLO-txt file-list datasets with the two reference pipelines.
+
+A dataset is a list of image paths (one per line in ``train.txt``/``val.txt``)
+with sibling ``.txt`` label files of ``cid cx cy w h`` normalized rows —
+the format of dataset/detection/yolo_dataset.py:15-46 and datasets.py:20-105.
+
+``pipeline='letterbox'`` is the Ultralytics-style path that trained the
+published YOLOv3 numbers; ``pipeline='simple'`` is the v1/v2/v4-tiny path.
+Samples are pure functions of (index, seed): the loader derives one seed per
+(epoch, index) so augmentation is reproducible and host-shardable.
+
+Output per sample: ``img`` [H, W, 3] float32 RGB in [0, 1] (NHWC — TPU
+layout), ``boxes`` [n, 5] normalized ``[cx, cy, w, h, cls]``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from podtpu.data import augment as A
+
+
+def read_yolo_labels(label_path: str) -> np.ndarray:
+    """[N, 5] rows [cls, cx, cy, w, h] (raw file order)."""
+    rows = []
+    try:
+        with open(label_path, "r") as f:
+            for line in f.read().splitlines():
+                if not line.strip():
+                    continue
+                cid, cx, cy, w, h = map(float, line.split())
+                rows.append([cid, cx, cy, w, h])
+    except FileNotFoundError:
+        pass
+    return np.asarray(rows, np.float32).reshape(-1, 5)
+
+
+def label_path_for(img_path: str) -> str:
+    for ext in (".jpg", ".jpeg", ".png", ".bmp"):
+        if img_path.lower().endswith(ext):
+            return img_path[: -len(ext)] + ".txt"
+    return img_path + ".txt"
+
+
+class YoloTxtDataset:
+    def __init__(self, list_file: str, input_size: int, augment: bool,
+                 pipeline: str = "letterbox"):
+        with open(list_file, "r") as f:
+            self.imgs = [l for l in f.read().splitlines() if l.strip()]
+        self.input_size = input_size
+        self.augment = augment
+        assert pipeline in ("letterbox", "simple")
+        self.pipeline = pipeline
+
+    def __len__(self) -> int:
+        return len(self.imgs)
+
+    def get(self, index: int, seed: int):
+        rng = np.random.default_rng(seed)
+        if self.pipeline == "letterbox":
+            return self._letterbox_sample(index, rng)
+        return self._simple_sample(index, rng)
+
+    # -- letterbox (v3) path ------------------------------------------------
+    def _letterbox_sample(self, index: int, rng: np.random.Generator):
+        path = self.imgs[index]
+        size = self.input_size
+        im, (h0, w0), (h, w) = A.load_resized(path, size, self.augment)
+        im, ratio, pad = A.letterbox(im, size, scaleup=self.augment)
+
+        labels = read_yolo_labels(label_path_for(path))  # [n,5] cls,cx,cy,w,h
+        if len(labels):
+            # normalized cxcywh -> pixel xyxy in the letterboxed frame
+            cx = labels[:, 1] * (ratio[0] * w) + pad[0]
+            cy = labels[:, 2] * (ratio[1] * h) + pad[1]
+            bw = labels[:, 3] * (ratio[0] * w)
+            bh = labels[:, 4] * (ratio[1] * h)
+            boxes = np.stack(
+                [labels[:, 0], cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2],
+                axis=1,
+            )
+        else:
+            boxes = np.zeros((0, 5), np.float32)
+
+        if self.augment:
+            im, boxes = A.random_affine(im, boxes, rng,
+                                        degrees=0.0, translate=0.1,
+                                        scale=0.5, shear=0.0)
+
+        # back to normalized cxcywh (+ clip, like xyxy2xywhn(clip=True))
+        hh, ww = im.shape[:2]
+        out = np.zeros((len(boxes), 5), np.float32)
+        if len(boxes):
+            x1 = boxes[:, 1].clip(0, ww - 1e-3)
+            y1 = boxes[:, 2].clip(0, hh - 1e-3)
+            x2 = boxes[:, 3].clip(0, ww - 1e-3)
+            y2 = boxes[:, 4].clip(0, hh - 1e-3)
+            out[:, 0] = (x1 + x2) / 2 / ww
+            out[:, 1] = (y1 + y2) / 2 / hh
+            out[:, 2] = (x2 - x1) / ww
+            out[:, 3] = (y2 - y1) / hh
+            out[:, 4] = boxes[:, 0]
+
+        if self.augment:
+            im = A.augment_hsv(im, rng)
+            if rng.random() < 0.5:
+                im, out = self._flip_bgr(im, out)
+
+        im = np.ascontiguousarray(im[:, :, ::-1], dtype=np.float32) / 255.0  # BGR->RGB
+        return im, out
+
+    @staticmethod
+    def _flip_bgr(im, boxes):
+        im = np.ascontiguousarray(im[:, ::-1])
+        if len(boxes):
+            boxes = boxes.copy()
+            boxes[:, 0] = 1.0 - boxes[:, 0]
+        return im, boxes
+
+    # -- simple (v1/v2/v4-tiny) path -----------------------------------------
+    def _simple_sample(self, index: int, rng: np.random.Generator):
+        import cv2
+
+        path = self.imgs[index]
+        size = self.input_size
+        im = cv2.imread(path)
+        if im is None:
+            raise FileNotFoundError(f"image not found: {path}")
+        im = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
+
+        labels = read_yolo_labels(label_path_for(path))
+        boxes = np.zeros((len(labels), 5), np.float32)
+        if len(labels):
+            boxes[:, :4] = labels[:, 1:5]
+            boxes[:, 4] = labels[:, 0]
+
+        if self.augment:
+            if rng.random() < 0.5:
+                im, boxes = A.hflip(im, boxes)
+            if rng.random() < 0.5:
+                im = A.clahe(im)
+            if rng.random() < 0.5:
+                im = A.color_jitter(im, rng)
+            im, boxes = A.random_resized_crop(im, boxes, rng, size)
+        else:
+            im = cv2.resize(im, (size, size), interpolation=cv2.INTER_LINEAR)
+
+        im = im.astype(np.float32) / 255.0
+        return im, boxes
+
+
+def build_datasets(cfg: dict):
+    """(train_ds, val_ds) with the reference's model->pipeline wiring:
+    yolov3 uses the letterbox DataModule, v1/v2/v4-tiny use YoloDataModule
+    (train_yolov3.py:22-28 vs train_yolov2.py:19-25)."""
+    pipeline = cfg.get(
+        "pipeline", "letterbox" if cfg["model"] == "yolov3" else "simple"
+    )
+    train = YoloTxtDataset(cfg["train_list"], cfg["input_size"], True, pipeline)
+    val = YoloTxtDataset(cfg["val_list"], cfg["input_size"], False, pipeline)
+    return train, val

@@ -1,0 +1,138 @@
+"""Fixed-shape batching + threaded prefetch loader.
+
+Replaces the reference's 32-process torch DataLoader + dynamic per-batch
+annotation padding (utils/yolo_utils.py:11-39) with:
+
+* a **config-fixed** ``max_annots`` pad (-1 fill) so every batch has the same
+  shape and XLA compiles exactly one program (the reference pads to the
+  per-batch max, which would recompile constantly under jit);
+* per-host sharding for multi-host DP: host ``i`` of ``n`` reads indices
+  ``i::n`` (the DistributedSampler analog);
+* a thread pool decoding/augmenting ahead of the step (cv2 releases the GIL
+  in its hot paths) and a bounded prefetch queue.
+
+Determinism: sample seeds derive from (base_seed, epoch, index), so a resume
+at epoch k reproduces the same stream regardless of worker count.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+def pad_annotations(boxes_list, max_annots: int) -> np.ndarray:
+    """[B, max_annots, 5] with -1 padding; overflow annotations drop."""
+    b = len(boxes_list)
+    out = np.full((b, max_annots, 5), -1.0, np.float32)
+    for i, boxes in enumerate(boxes_list):
+        n = min(len(boxes), max_annots)
+        if n:
+            out[i, :n] = boxes[:n]
+    return out
+
+
+class Loader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool,
+        max_annots: int = 64,
+        workers: int = 8,
+        seed: int = 0,
+        drop_last: bool | None = None,
+        host_id: int = 0,
+        host_count: int = 1,
+        prefetch: int = 4,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.max_annots = max_annots
+        self.workers = max(1, workers)
+        self.seed = seed
+        self.drop_last = shuffle if drop_last is None else drop_last
+        self.host_id = host_id
+        self.host_count = host_count
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            order = np.random.default_rng((self.seed, self.epoch)).permutation(n)
+        else:
+            order = np.arange(n)
+        return order[self.host_id :: self.host_count]
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _sample_seed(self, index: int) -> int:
+        return int(
+            np.random.SeedSequence([self.seed, self.epoch, int(index)])
+            .generate_state(1)[0]
+        )
+
+    def __iter__(self):
+        indices = self._indices()
+        nb = len(self)
+        batches = [
+            indices[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(nb)
+        ]
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            # Any worker exception must reach the consumer — a silently dead
+            # producer would deadlock the training loop on q.get().
+            try:
+                with ThreadPoolExecutor(self.workers) as pool:
+                    for batch_idx in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(
+                            pool.map(
+                                lambda i: self.dataset.get(
+                                    int(i), self._sample_seed(i)
+                                ),
+                                batch_idx,
+                            )
+                        )
+                        imgs = np.stack([s[0] for s in samples])
+                        annots = pad_annotations(
+                            [s[1] for s in samples], self.max_annots
+                        )
+                        q.put({"img": imgs, "annot": annots})
+            except BaseException as exc:  # propagate to the consumer
+                q.put(exc)
+            else:
+                q.put(None)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # drain so a blocked producer can observe `stop` and exit
+            while not q.empty():
+                q.get_nowait()

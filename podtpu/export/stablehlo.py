@@ -1,0 +1,70 @@
+"""Model export via jax.export (StableHLO) — the deploy path.
+
+The reference exports Lightning modules to ONNX opset 12 (torch2onnx.py:14-44)
+and post-processes them for an NPU toolchain (onnx2novaonnx_converter.py).
+The XLA-native equivalent is a serialized StableHLO artifact: portable,
+versioned, runnable on any XLA backend (CPU/GPU/TPU) without Python model
+code. ``inspect_exported`` plays the converter's op-whitelist role: it lists
+the StableHLO ops in the artifact so a downstream toolchain can validate
+support before deployment.
+
+Artifacts are single files: serialized bytes. Reload with
+:func:`load_exported` and call the result like a function.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import export as jexport
+
+
+def export_forward(model, variables, input_shape, dtype=jnp.float32):
+    """Jit + export ``model.apply(variables, x, train=False)`` closed over
+    weights (like ONNX export_params=True)."""
+
+    def forward(x):
+        return model.apply(variables, x, train=False)
+
+    x_spec = jax.ShapeDtypeStruct(input_shape, dtype)
+    return jexport.export(jax.jit(forward))(x_spec)
+
+
+def export_stablehlo(model, variables, input_shape, path: str,
+                     dtype=jnp.float32) -> str:
+    exported = export_forward(model, variables, input_shape, dtype)
+    data = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(data)
+    return path
+
+
+def load_exported(path: str):
+    """Load a serialized artifact; returns a callable (jit-wrapped)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    exported = jexport.deserialize(data)
+    return jax.jit(exported.call)
+
+
+def inspect_exported(path: str) -> dict:
+    """Summarize the artifact: op histogram + input/output signature.
+
+    The nova-converter analog: downstream toolchains check this op set
+    against their supported list (onnx2novaonnx_converter.py:27-65).
+    """
+    import collections
+    import re
+
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+    text = exported.mlir_module()
+    ops = collections.Counter(
+        m.group(1) for m in re.finditer(r"\b(stablehlo\.\w+)", text)
+    )
+    return {
+        "in_avals": [str(a) for a in exported.in_avals],
+        "out_avals": [str(a) for a in exported.out_avals],
+        "ops": dict(sorted(ops.items(), key=lambda kv: -kv[1])),
+        "platforms": list(exported.platforms),
+    }

@@ -1,0 +1,41 @@
+"""Train state: params + BN statistics + optimizer state + step counter.
+
+The functional analog of the reference's LightningModule-held state
+(module/yolov3_detector.py:10-18 plus torch's implicit BN buffers and
+optimizer state). Serialized wholesale by orbax for checkpoint/resume.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from flax import core
+from flax import struct
+from flax.training import train_state
+
+from podtpu.models import build_model
+from podtpu.train.optim import build_optimizer
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: core.FrozenDict[str, Any] = struct.field(pytree_node=True)
+
+
+def create_train_state(cfg: dict, rng: jax.Array) -> TrainState:
+    """Init the model named in ``cfg`` and wrap it with its optimizer."""
+    model = build_model(cfg)
+    size = cfg["input_size"]
+    dummy = jax.numpy.zeros((1, size, size, cfg.get("in_channels", 3)),
+                            jax.numpy.float32)
+    variables = model.init(rng, dummy, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", core.FrozenDict())
+    tx = build_optimizer(cfg, params)
+    return TrainState.create(
+        apply_fn=model.apply, params=params, tx=tx, batch_stats=batch_stats
+    )
+
+
+def param_count(params) -> int:
+    return sum(p.size for p in jax.tree_util.tree_leaves(params))

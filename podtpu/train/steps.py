@@ -1,0 +1,128 @@
+"""Jitted train/eval steps — the whole step is device-resident.
+
+The reference's hot loop round-trips to CPU twice per step (target encoding
+in a Python loop, per-image NMS syncs — SURVEY.md §3.1/§3.2). Here:
+
+* ``make_train_step``: forward (bf16 convs on the MXU) + vectorized target
+  encoding + loss + backward + optax update in ONE compiled program. Under a
+  data mesh, inputs are sharded on batch and XLA emits the gradient psum
+  over ICI.
+* ``make_eval_step``: forward + loss + grid decode + padded NMS on device;
+  only the [B, max_det, 6] survivors cross to the host for the (inherently
+  dynamic) mAP bookkeeping.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from podtpu.losses import build_loss
+from podtpu.ops.decode import decode_yolov1, decode_yolov2, decode_yolov3
+from podtpu.ops.nms import batched_class_aware_nms
+from podtpu.parallel.mesh import batch_sharding, replicated_sharding
+
+
+def make_decoder(cfg: dict) -> Callable:
+    """Config -> fn(raw head output(s)) -> [B, N, 6] candidates."""
+    name = cfg["model"]
+    num_classes = cfg["num_classes"]
+    input_size = cfg["input_size"]
+    if name == "yolov1":
+        num_boxes = cfg["num_boxes"]
+        return lambda preds: decode_yolov1(preds, num_classes, num_boxes, input_size)
+    if name == "yolov2":
+        anchors = cfg["scaled_anchors"]
+        return lambda preds: decode_yolov2(preds, num_classes, anchors, input_size)
+    if name in ("yolov3", "yolov4-tiny"):
+        anchors = cfg["anchors"]
+        return lambda preds: decode_yolov3(preds, num_classes, anchors, input_size)
+    raise ValueError(f"unknown model '{name}'")
+
+
+def make_train_step(cfg: dict, mesh=None, donate: bool = True):
+    """Build the jitted ``(state, batch, rng) -> (state, metrics)`` step."""
+    loss_fn = build_loss(cfg)
+
+    def train_step(state, batch, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def objective(params):
+            preds, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["img"],
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": step_rng},
+            )
+            loss = loss_fn(preds, batch["annot"])
+            return loss, updates
+
+        (loss, updates), grads = jax.value_and_grad(objective, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(
+            grads=grads, batch_stats=updates["batch_stats"]
+        )
+        metrics = {"loss": loss}
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, {"img": data, "annot": data}, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(cfg: dict, mesh=None):
+    """Build the jitted eval step: loss + decoded, NMS'd detections.
+
+    Returns ``(loss, detections [B, max_det, 6], valid [B, max_det])`` —
+    detections in input-pixel cxcywh + conf + class, score-sorted.
+    """
+    loss_fn = build_loss(cfg)
+    decoder = make_decoder(cfg)
+    conf_t = float(cfg.get("conf_threshold", 0.25))
+    iou_t = float(cfg.get("nms_iou_threshold", 0.45))
+    top_k = int(cfg.get("top_k_candidates", 512))
+    max_det = int(cfg.get("max_detections", 100))
+
+    def eval_step(state, batch):
+        preds = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["img"],
+            train=False,
+        )
+        loss = loss_fn(preds, batch["annot"])
+        boxes = decoder(preds)
+        dets, valid = batched_class_aware_nms(
+            boxes, conf_t, iou_t, top_k=top_k, max_detections=max_det
+        )
+        return loss, dets, valid
+
+    if mesh is None:
+        return jax.jit(eval_step)
+
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        eval_step,
+        in_shardings=(repl, {"img": data, "annot": data}),
+        out_shardings=(repl, data, data),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=())
+def global_norm(tree) -> jnp.ndarray:
+    return jnp.sqrt(
+        sum(jnp.sum(jnp.square(x)) for x in jax.tree_util.tree_leaves(tree))
+    )

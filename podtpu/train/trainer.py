@@ -1,0 +1,232 @@
+"""Training orchestration — the functional analog of the reference's
+Lightning stack (pl.Trainer + callbacks, train_yolov3.py:50-74):
+
+* per-step jitted DP train step (loss logged as ``train_loss``);
+* validation every ``check_val_every_n_epoch`` epochs -> ``val_loss`` +
+  ``val_mAP`` (module/yolov3_detector.py:33-47);
+* orbax checkpoints: ``last`` every epoch, ``best`` on min val_loss,
+  periodic every ``save_freq`` (ModelCheckpoint analog, train_yolov3.py:52-56);
+* early stopping on val_loss with patience counted in validation rounds
+  (EarlyStopping(patience=30), train_yolov3.py:57-61);
+* TensorBoard scalars incl. the learning rate (LearningRateMonitor analog)
+  under ``<save_dir>/<model>_<dataset>/version_N/`` — the reference's run
+  directory scheme (utils/utility.py:13-14).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from podtpu.config import make_model_name
+from podtpu.metrics import MeanAveragePrecision
+from podtpu.parallel.mesh import make_mesh, shard_batch
+from podtpu.train.schedule import build_schedule
+from podtpu.train.state import TrainState, create_train_state, param_count
+from podtpu.train.steps import make_eval_step, make_train_step
+
+
+def make_run_dir(cfg: dict) -> str:
+    base = os.path.join(cfg.get("save_dir", "./saved"), make_model_name(cfg))
+    os.makedirs(base, exist_ok=True)
+    n = 0
+    while os.path.exists(os.path.join(base, f"version_{n}")):
+        n += 1
+    run = os.path.join(base, f"version_{n}")
+    os.makedirs(os.path.join(run, "checkpoints"), exist_ok=True)
+    return run
+
+
+class CheckpointIO:
+    """Orbax-backed save/restore of the train state's array pytree."""
+
+    def __init__(self, ckpt_dir: str):
+        import orbax.checkpoint as ocp
+
+        self._ckpt_dir = os.path.abspath(ckpt_dir)
+        os.makedirs(self._ckpt_dir, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self._ckpt_dir, name)
+
+    def save(self, name: str, state: TrainState):
+        payload = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        self._ckptr.save(self._path(name), payload, force=True)
+        self._ckptr.wait_until_finished()
+
+    def restore(self, path: str, state: TrainState) -> TrainState:
+        """Restore arrays from ``path`` into the (freshly created) state."""
+        template = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        payload = self._ckptr.restore(os.path.abspath(path), template)
+        return state.replace(
+            params=payload["params"],
+            batch_stats=payload["batch_stats"],
+            opt_state=payload["opt_state"],
+            step=payload["step"],
+        )
+
+
+def restore_weights(path: str, state: TrainState) -> TrainState:
+    """Weights-only restore (params + batch_stats) for eval/inference."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    template = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    payload = ckptr.restore(os.path.abspath(path), template)
+    return state.replace(
+        params=payload["params"], batch_stats=payload["batch_stats"]
+    )
+
+
+class Trainer:
+    def __init__(self, cfg: dict, run_dir: str | None = None,
+                 log: Callable[[str], None] = print, use_mesh: bool = True):
+        self.cfg = cfg
+        self.log = log
+        self.mesh = make_mesh() if use_mesh else None
+        rng = jax.random.PRNGKey(cfg.get("seed", 0))
+        self.rng = rng
+        self.state = create_train_state(cfg, rng)
+        if self.mesh is not None:
+            from podtpu.parallel.mesh import replicated_sharding
+
+            self.state = jax.device_put(
+                self.state, replicated_sharding(self.mesh)
+            )
+        self.train_step = make_train_step(cfg, self.mesh)
+        self.eval_step = make_eval_step(cfg, self.mesh)
+        self.schedule = build_schedule(cfg)
+        self.map_metric = MeanAveragePrecision(
+            cfg["num_classes"], cfg["input_size"]
+        )
+        self.run_dir = run_dir or make_run_dir(cfg)
+        self.ckpt = CheckpointIO(os.path.join(self.run_dir, "checkpoints"))
+        self._writer = None
+        self.history: list[dict] = []
+        self.log(
+            f"model={cfg['model']} params={param_count(self.state.params):,} "
+            f"run_dir={self.run_dir}"
+        )
+
+    @property
+    def writer(self):
+        if self._writer is None:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._writer = SummaryWriter(self.run_dir)
+            except Exception:  # tensorboard unavailable -> no-op writer
+                class _Null:
+                    def add_scalar(self, *a, **k):
+                        pass
+
+                    def flush(self):
+                        pass
+
+                self._writer = _Null()
+        return self._writer
+
+    def _put(self, batch: dict) -> dict:
+        if self.mesh is not None:
+            return shard_batch(batch, self.mesh)
+        return jax.tree_util.tree_map(jnp.asarray, batch)
+
+    def fit(self, train_loader, val_loader, epochs: int | None = None):
+        cfg = self.cfg
+        epochs = epochs if epochs is not None else cfg["epochs"]
+        val_every = int(cfg.get("trainer_options", {}).get(
+            "check_val_every_n_epoch", 1))
+        patience = int(cfg.get("early_stopping_patience", 30))
+        save_freq = int(cfg.get("save_freq", 5))
+
+        best_val = float("inf")
+        bad_rounds = 0
+        t_start = time.time()
+
+        for epoch in range(epochs):
+            train_loader.set_epoch(epoch)
+            losses = []
+            t_epoch = time.time()
+            n_images = 0
+            for batch in train_loader:
+                n_images += batch["img"].shape[0]
+                batch = self._put(batch)
+                self.state, metrics = self.train_step(
+                    self.state, batch, self.rng
+                )
+                losses.append(metrics["loss"])
+            if not losses:
+                raise RuntimeError("empty train loader")
+            train_loss = float(jnp.mean(jnp.stack(losses)))
+            step = int(self.state.step)
+            lr = float(self.schedule(step))
+            dt = time.time() - t_epoch
+            ips = n_images / dt if dt > 0 else 0.0
+            self.writer.add_scalar("train_loss", train_loss, step)
+            self.writer.add_scalar("lr", lr, step)
+            self.writer.add_scalar("images_per_sec", ips, step)
+            row = {"epoch": epoch, "step": step, "train_loss": train_loss,
+                   "lr": lr, "images_per_sec": ips}
+
+            if (epoch + 1) % val_every == 0:
+                val = self.validate(val_loader)
+                row.update(val)
+                self.writer.add_scalar("val_loss", val["val_loss"], step)
+                self.writer.add_scalar("val_mAP", val["val_mAP"], step)
+                if val["val_loss"] < best_val:
+                    best_val = val["val_loss"]
+                    bad_rounds = 0
+                    self.ckpt.save("best", self.state)
+                else:
+                    bad_rounds += 1
+
+            self.ckpt.save("last", self.state)
+            if (epoch + 1) % save_freq == 0:
+                self.ckpt.save(f"epoch_{epoch:04d}", self.state)
+
+            self.history.append(row)
+            self.log(
+                f"epoch {epoch}: " + " ".join(
+                    f"{k}={v:.5g}" for k, v in row.items() if k != "epoch"
+                )
+            )
+            if bad_rounds >= patience:
+                self.log(f"early stopping after {bad_rounds} stale rounds")
+                break
+        self.writer.flush()
+        self.log(f"fit done in {time.time() - t_start:.1f}s")
+        return self.history
+
+    def validate(self, val_loader) -> dict:
+        self.map_metric.reset_states()
+        losses = []
+        val_loader.set_epoch(0)
+        for batch in val_loader:
+            dev_batch = self._put(batch)
+            loss, dets, valid = self.eval_step(self.state, dev_batch)
+            losses.append(float(loss))
+            self.map_metric.update_state(batch["annot"], dets, valid)
+        val_loss = float(np.mean(losses)) if losses else float("nan")
+        val_map = self.map_metric.result()
+        return {"val_loss": val_loss, "val_mAP": val_map}

@@ -1,0 +1,107 @@
+"""Data pipeline tests: synthetic dataset generation, both augmentation
+pipelines, fixed-shape batching, loader determinism and host sharding."""
+
+import numpy as np
+import pytest
+
+from podtpu.data import Loader, YoloTxtDataset
+from podtpu.data.augment import letterbox, random_affine
+from podtpu.data.loader import pad_annotations
+from podtpu.data.synthetic import generate
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    out = tmp_path_factory.mktemp("synth")
+    info = generate(str(out), n_train=12, n_val=6, size=160, num_classes=3,
+                    seed=1)
+    return info
+
+
+def test_letterbox_geometry():
+    im = np.zeros((100, 200, 3), np.uint8)
+    out, ratio, (dw, dh) = letterbox(im, 160, scaleup=True)
+    assert out.shape == (160, 160, 3)
+    assert ratio[0] == pytest.approx(0.8)
+    assert dh == pytest.approx((160 - 80) / 2)
+    # gray padding above/below
+    assert (out[0] == 114).all() and (out[-1] == 114).all()
+
+
+def test_letterbox_no_scaleup():
+    im = np.zeros((100, 100, 3), np.uint8)
+    out, ratio, _ = letterbox(im, 160, scaleup=False)
+    assert ratio[0] == 1.0  # eval never upscales
+    assert out.shape == (160, 160, 3)
+
+
+def test_random_affine_identity_boxes():
+    rng = np.random.default_rng(0)
+    im = np.zeros((100, 100, 3), np.uint8)
+    boxes = np.array([[0.0, 20, 20, 60, 60]], np.float32)
+    im2, boxes2 = random_affine(im, boxes.copy(), rng, translate=0.0, scale=0.0)
+    assert im2.shape == im.shape
+    np.testing.assert_allclose(boxes2, boxes, atol=1e-3)
+
+
+def test_dataset_letterbox_and_simple(synth):
+    for pipeline in ("letterbox", "simple"):
+        ds = YoloTxtDataset(synth["train_list"], 160, augment=True,
+                            pipeline=pipeline)
+        img, boxes = ds.get(0, seed=123)
+        assert img.shape == (160, 160, 3)
+        assert img.dtype == np.float32
+        assert 0.0 <= img.min() and img.max() <= 1.0
+        assert boxes.shape[1] == 5
+        if len(boxes):
+            assert (boxes[:, :4] >= 0).all() and (boxes[:, :4] <= 1).all()
+
+
+def test_dataset_deterministic(synth):
+    ds = YoloTxtDataset(synth["train_list"], 160, augment=True)
+    a_img, a_box = ds.get(2, seed=7)
+    b_img, b_box = ds.get(2, seed=7)
+    np.testing.assert_array_equal(a_img, b_img)
+    np.testing.assert_array_equal(a_box, b_box)
+    c_img, _ = ds.get(2, seed=8)
+    assert not np.array_equal(a_img, c_img)
+
+
+def test_pad_annotations_overflow_and_fill():
+    boxes = [np.zeros((2, 5), np.float32) + 0.5, np.zeros((0, 5), np.float32)]
+    out = pad_annotations(boxes, max_annots=3)
+    assert out.shape == (2, 3, 5)
+    assert (out[0, :2] == 0.5).all() and (out[0, 2] == -1).all()
+    assert (out[1] == -1).all()
+    big = [np.ones((10, 5), np.float32)]
+    assert pad_annotations(big, 4).shape == (1, 4, 5)
+
+
+def test_loader_shapes_and_epochs(synth):
+    ds = YoloTxtDataset(synth["train_list"], 160, augment=True)
+    loader = Loader(ds, batch_size=4, shuffle=True, max_annots=6, workers=2,
+                    seed=0)
+    loader.set_epoch(0)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 3  # 12 / 4
+    for b in batches:
+        assert b["img"].shape == (4, 160, 160, 3)
+        assert b["annot"].shape == (4, 6, 5)
+
+    # different epoch -> different order/augs
+    first = batches[0]["img"]
+    loader.set_epoch(1)
+    second = next(iter(loader))["img"]
+    assert not np.array_equal(first, second)
+
+
+def test_loader_host_sharding(synth):
+    ds = YoloTxtDataset(synth["train_list"], 160, augment=False)
+    seen = []
+    for host in range(2):
+        loader = Loader(ds, batch_size=3, shuffle=False, max_annots=6,
+                        workers=1, host_id=host, host_count=2)
+        for batch in loader:
+            seen.append(batch["img"].shape[0])
+    # 12 images split 6/6 across two hosts, batch 3 -> 4 batches of 3
+    assert seen == [3, 3, 3, 3]

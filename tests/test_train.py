@@ -1,0 +1,133 @@
+"""Training-stack tests: optimizer masking, train step, multi-chip DP mesh,
+and a loss-decreases smoke train (the reference has no tests; SURVEY.md §4
+calls for fixed-seed step tests + a mesh test on 8 virtual CPU devices)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from podtpu.parallel.mesh import make_mesh, replicated_sharding, shard_batch
+from podtpu.train.optim import kernel_decay_mask
+from podtpu.train.state import create_train_state, param_count
+from podtpu.train.steps import make_eval_step, make_train_step
+
+TINY_CFG = {
+    "model": "yolov4-tiny",
+    "num_classes": 4,
+    "input_size": 64,
+    "in_channels": 3,
+    "compute_dtype": "float32",
+    "anchors": [
+        [4, 5], [6, 8], [10, 9], [12, 16], [18, 14],
+        [20, 24], [32, 28], [40, 44], [56, 52],
+    ],
+    "conf_threshold": 0.25,
+    "max_annots": 8,
+    "optimizer": "sgd",
+    "optimizer_options": {
+        "lr": 1e-3, "momentum": 0.9, "weight_decay": 1e-4, "nesterov": True,
+    },
+    "scheduler": "yolo_lr",
+    "scheduler_options": {"burn_in": 5, "steps": [1000], "scales": [0.1]},
+    "top_k_candidates": 64,
+    "max_detections": 10,
+}
+
+
+def tiny_batch(batch_size=4, seed=0):
+    r = np.random.default_rng(seed)
+    imgs = r.uniform(0, 1, (batch_size, 64, 64, 3)).astype(np.float32)
+    annot = -np.ones((batch_size, 8, 5), np.float32)
+    for b in range(batch_size):
+        annot[b, 0] = [0.5, 0.5, 0.4, 0.4, b % 4]
+    return {"img": imgs, "annot": annot}
+
+
+@pytest.fixture(scope="module")
+def state():
+    return create_train_state(TINY_CFG, jax.random.PRNGKey(0))
+
+
+def test_param_count_positive(state):
+    assert param_count(state.params) > 1_000_000  # v4-tiny ~5.9M
+
+
+def test_decay_mask_targets_kernels_only(state):
+    mask = kernel_decay_mask(state.params)
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    for path, decay in flat:
+        key = path[-1].key
+        if key == "kernel":
+            assert decay
+        else:
+            assert not decay, f"{path} should not decay"
+
+
+def test_train_step_decreases_loss(state):
+    """Fixed batch, repeated steps -> the loss must go down (overfit check)."""
+    step = make_train_step(TINY_CFG, mesh=None, donate=False)
+    batch = jax.tree_util.tree_map(jnp.asarray, tiny_batch())
+    rng = jax.random.PRNGKey(1)
+    s = state
+    losses = []
+    for _ in range(12):
+        s, metrics = step(s, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert int(s.step) == 12
+
+
+def test_batch_stats_update(state):
+    step = make_train_step(TINY_CFG, mesh=None, donate=False)
+    batch = jax.tree_util.tree_map(jnp.asarray, tiny_batch())
+    s2, _ = step(state, batch, jax.random.PRNGKey(0))
+    before = jax.tree_util.tree_leaves(state.batch_stats)
+    after = jax.tree_util.tree_leaves(s2.batch_stats)
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(before, after)
+    )
+    assert changed, "BN running stats did not update"
+
+
+def test_eval_step_outputs(state):
+    eval_step = make_eval_step(TINY_CFG, mesh=None)
+    batch = jax.tree_util.tree_map(jnp.asarray, tiny_batch())
+    loss, dets, valid = eval_step(state, batch)
+    assert np.isfinite(float(loss))
+    assert dets.shape == (4, 10, 6)
+    assert valid.shape == (4, 10)
+
+
+def test_multichip_dp_mesh():
+    """Full DP train step over the 8 virtual CPU devices; parity with the
+    single-device step on the same global batch."""
+    assert len(jax.devices()) == 8, "conftest should fake 8 cpu devices"
+    mesh = make_mesh()
+    state = create_train_state(TINY_CFG, jax.random.PRNGKey(0))
+    state_repl = jax.device_put(state, replicated_sharding(mesh))
+    batch = tiny_batch(batch_size=8)
+    sharded = shard_batch(batch, mesh)
+
+    step_dp = make_train_step(TINY_CFG, mesh, donate=False)
+    rng = jax.random.PRNGKey(1)
+    s_dp, m_dp = step_dp(state_repl, sharded, rng)
+
+    step_1 = make_train_step(TINY_CFG, mesh=None, donate=False)
+    batch_1 = jax.tree_util.tree_map(jnp.asarray, batch)
+    s_1, m_1 = step_1(state, batch_1, rng)
+
+    # same global batch => identical loss and identical updated params
+    assert float(m_dp["loss"]) == pytest.approx(float(m_1["loss"]), rel=1e-5)
+    p_dp = jax.tree_util.tree_leaves(s_dp.params)
+    p_1 = jax.tree_util.tree_leaves(s_1.params)
+    for a, b in zip(p_dp, p_1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-6)
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

@@ -1,0 +1,98 @@
+"""COCO-json predictions from a COCO annotation file + in-process COCOeval
+when pycocotools is available (yolo2coco_pred_file_yolov3.py:19-121 analog).
+
+Predictions are rescaled from the model's square input back to each image's
+original (width, height) — the reference resizes without letterbox on this
+path, so a plain scale is the faithful mapping.
+
+    python yolo2coco_pred_file.py --cfg ... --ckpt ... --json annotations.json \
+        --out results.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import cv2
+import numpy as np
+
+from podtpu.config import get_configs, setup_platform
+from podtpu.train.trainer import Trainer, restore_weights
+
+
+def run(cfg: dict, ckpt: str | None, ann_json: str, out_json: str):
+    with open(ann_json, "r") as f:
+        coco = json.load(f)
+    images = coco["images"]
+    img_dir = os.path.dirname(ann_json)
+
+    trainer = Trainer(cfg, use_mesh=False)
+    if ckpt:
+        trainer.state = restore_weights(ckpt, trainer.state)
+    size = cfg["input_size"]
+
+    results = []
+    for info in images:
+        path = os.path.join(img_dir, info["file_name"])
+        img = cv2.imread(path)
+        if img is None:
+            raise FileNotFoundError(path)
+        h0, w0 = img.shape[:2]
+        inp = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
+        inp = cv2.cvtColor(inp, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+        batch = {
+            "img": inp[None],
+            "annot": -np.ones((1, cfg["max_annots"], 5), np.float32),
+        }
+        _, dets, valid = trainer.eval_step(trainer.state, trainer._put(batch))
+        dets = np.asarray(dets[0])[np.asarray(valid[0])]
+        sx, sy = w0 / size, h0 / size
+        for cx, cy, w, h, conf, cls in dets:
+            results.append({
+                "image_id": info["id"],
+                "category_id": int(cls) + 1,  # COCO categories are 1-based
+                "bbox": [
+                    round(float((cx - w / 2) * sx), 2),
+                    round(float((cy - h / 2) * sy), 2),
+                    round(float(w * sx), 2),
+                    round(float(h * sy), 2),
+                ],
+                "score": round(float(conf), 5),
+            })
+
+    with open(out_json, "w") as f:
+        json.dump(results, f)
+    print(f"wrote {len(results)} detections to {out_json}")
+
+    try:
+        from pycocotools.coco import COCO
+        from pycocotools.cocoeval import COCOeval
+
+        gt = COCO(ann_json)
+        dt = gt.loadRes(out_json)
+        ev = COCOeval(gt, dt, "bbox")
+        ev.evaluate()
+        ev.accumulate()
+        ev.summarize()
+    except ImportError:
+        print("pycocotools not installed; skipping in-process COCOeval")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", required=True, type=str)
+    ap.add_argument("--ckpt", type=str, default=None)
+    ap.add_argument("--json", required=True, type=str,
+                    help="COCO annotation json")
+    ap.add_argument("--out", type=str, default="results.json")
+    ap.add_argument("--platform", type=str, default=None,
+                    help="pin JAX backend (e.g. cpu) for local runs")
+    args = ap.parse_args()
+    setup_platform(args.platform)
+    run(get_configs(args.cfg), args.ckpt, args.json, args.out)
+
+
+if __name__ == "__main__":
+    main()
