@@ -251,6 +251,82 @@ def random_resized_crop(
     return crop, boxes
 
 
+def mosaic4(images, boxes_list, out_size: int, rng: np.random.Generator):
+    """4-image mosaic (the reference defines it unwired: datasets.py:185-239).
+
+    images: 4 BGR/RGB arrays already pre-resized so max side == out_size;
+    boxes_list: 4 x [n, 5] rows [cls, x1, y1, x2, y2] in each image's pixels.
+    Returns (canvas [2S, 2S, 3], boxes [m, 5] canvas pixels).
+    """
+    s = out_size
+    yc = int(rng.uniform(s // 2, 3 * s // 2))
+    xc = int(rng.uniform(s // 2, 3 * s // 2))
+    canvas = np.full((2 * s, 2 * s, 3), GRAY, dtype=images[0].dtype)
+    out_boxes = []
+    for i, (img, boxes) in enumerate(zip(images, boxes_list)):
+        h, w = img.shape[:2]
+        if i == 0:  # top-left
+            x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+            x1b, y1b = w - (x2a - x1a), h - (y2a - y1a)
+        elif i == 1:  # top-right
+            x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, 2 * s), yc
+            x1b, y1b = 0, h - (y2a - y1a)
+        elif i == 2:  # bottom-left
+            x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(2 * s, yc + h)
+            x1b, y1b = w - (x2a - x1a), 0
+        else:  # bottom-right
+            x1a, y1a, x2a, y2a = xc, yc, min(xc + w, 2 * s), min(2 * s, yc + h)
+            x1b, y1b = 0, 0
+        canvas[y1a:y2a, x1a:x2a] = img[y1b:y1b + (y2a - y1a),
+                                       x1b:x1b + (x2a - x1a)]
+        if len(boxes):
+            b = boxes.copy()
+            b[:, [1, 3]] += x1a - x1b
+            b[:, [2, 4]] += y1a - y1b
+            out_boxes.append(b)
+    boxes = (np.concatenate(out_boxes)
+             if out_boxes else np.zeros((0, 5), np.float32))
+    if len(boxes):
+        boxes[:, 1:] = boxes[:, 1:].clip(0, 2 * s)
+        wh_ok = (boxes[:, 3] - boxes[:, 1] > 2) & (boxes[:, 4] - boxes[:, 2] > 2)
+        boxes = boxes[wh_ok]
+    return canvas, boxes
+
+
+def mixup(im1, boxes1, im2, boxes2, rng: np.random.Generator):
+    """Beta(32, 32) image blend, union of labels (augmentations.py:264-269
+    semantics)."""
+    r = rng.beta(32.0, 32.0)
+    im = (im1.astype(np.float32) * r + im2.astype(np.float32) * (1 - r))
+    im = im.astype(im1.dtype)
+    boxes = np.concatenate([boxes1, boxes2]) if len(boxes1) or len(boxes2) \
+        else np.zeros((0, boxes1.shape[1] if boxes1.ndim == 2 else 5),
+                      np.float32)
+    return im, boxes
+
+
+def cutout(im: np.ndarray, boxes: np.ndarray, rng: np.random.Generator,
+           max_obscure: float = 0.6):
+    """Random rectangular erasures; drops labels that get mostly covered
+    (augmentations.py:237-261 semantics). boxes: [n,5] [cls,x1,y1,x2,y2]."""
+    h, w = im.shape[:2]
+    scales = [0.5] + [0.25] * 2 + [0.125] * 4 + [0.0625] * 8
+    for s in scales:
+        mh = int(rng.integers(1, max(2, int(h * s))))
+        mw = int(rng.integers(1, max(2, int(w * s))))
+        x1 = max(0, int(rng.integers(0, w)) - mw // 2)
+        y1 = max(0, int(rng.integers(0, h)) - mh // 2)
+        x2, y2 = min(w, x1 + mw), min(h, y1 + mh)
+        im[y1:y2, x1:x2] = rng.integers(64, 191, 3)
+        if len(boxes) and s > 0.03:
+            bx1, by1, bx2, by2 = boxes[:, 1], boxes[:, 2], boxes[:, 3], boxes[:, 4]
+            iw = (np.minimum(bx2, x2) - np.maximum(bx1, x1)).clip(0)
+            ih = (np.minimum(by2, y2) - np.maximum(by1, y1)).clip(0)
+            area = ((bx2 - bx1) * (by2 - by1)) + 1e-9
+            boxes = boxes[(iw * ih / area) < max_obscure]
+    return im, boxes
+
+
 def hflip(im: np.ndarray, boxes: np.ndarray):
     """Horizontal flip; boxes normalized [cx, cy, w, h, cls]."""
     im = np.ascontiguousarray(im[:, ::-1])

@@ -52,9 +52,17 @@ def _class_tp_fp(dets: np.ndarray, gts: np.ndarray, iou_threshold: float):
     """Greedy per-class matching. dets/gts are [N,7] rows of one class.
 
     Returns (tp, fp) arrays aligned with confidence-sorted detections.
+    Dispatches to the C++ matcher (podtpu/native/map_matcher.cpp) when
+    available; this numpy body is the behavioral reference and fallback.
     """
     order = np.argsort(-dets[:, 5], kind="stable")
     dets = dets[order]
+
+    from podtpu.native import native_class_tp_fp
+
+    native = native_class_tp_fp(dets, gts, iou_threshold)
+    if native is not None:
+        return native
     n = len(dets)
     tp = np.zeros(n, np.float32)
     fp = np.zeros(n, np.float32)

@@ -3,21 +3,20 @@
 The reference runs ``torchvision.ops.batched_nms`` per image after a dynamic
 confidence filter (utils/yolo_utils.py:321-348) — a GPU->CPU sync per image.
 On TPU, dynamic shapes force recompiles and host round-trips, so this
-implementation is a padded, statically-shaped pipeline that XLA compiles once:
+implementation is a padded, statically-shaped three-stage pipeline that XLA
+compiles once:
 
-  1. scores below ``conf_threshold`` are masked (set to -1) instead of
-     filtered;
-  2. top-k prefilter keeps the best K candidates;
-  3. class-aware greedy suppression: same-class boxes only (the
-     ``batched_nms`` semantics) via a per-class coordinate offset;
-  4. output is a fixed [max_det, 6] buffer + a validity mask, sorted by
-     descending confidence (torchvision returns keep-indices in score order,
-     so downstream semantics match).
-
-Suppression keeps a box iff no higher-scored *kept* box of the same class
-overlaps it above ``iou_threshold`` — exactly greedy NMS, computed with a
-sequential ``fori_loop`` over the K candidates (K is small; each step is a
-K-wide vector op on the VPU).
+  1. **select**: scores at/below ``conf_threshold`` are masked (set to -1)
+     instead of filtered, then a top-k keeps the best K candidates;
+  2. **suppress**: greedy class-aware suppression — a box survives iff no
+     higher-scored surviving box of the same class overlaps it above
+     ``iou_threshold`` (exactly ``batched_nms`` semantics, via a per-class
+     coordinate offset). Two backends: a Pallas TPU kernel that fuses the
+     IoU matrix + sequential loop in VMEM (podtpu/ops/pallas/nms_kernel.py),
+     and a plain XLA ``fori_loop``;
+  3. **finalize**: survivors gathered into a fixed [max_det, 6] buffer +
+     validity mask, sorted by descending confidence (torchvision returns
+     keep-indices in score order, so downstream semantics match).
 """
 
 from __future__ import annotations
@@ -29,40 +28,35 @@ import jax.numpy as jnp
 
 from podtpu.ops.boxes import cxcywh_to_xyxy, pairwise_iou
 
-# Larger than any pixel coordinate we will ever see; used to separate classes
-# so cross-class IoU is exactly 0.
+# Floor for the class-separation stride (see _select_candidates).
 _CLASS_OFFSET = 8192.0
 
+_STATIC = ("conf_threshold", "iou_threshold", "top_k", "max_detections",
+           "backend")
 
-@functools.partial(jax.jit, static_argnames=("top_k", "max_detections"))
-def nms_padded(
-    boxes: jnp.ndarray,
-    conf_threshold: float = 0.25,
-    iou_threshold: float = 0.45,
-    top_k: int = 512,
-    max_detections: int = 100,
-):
-    """Greedy class-aware NMS on one image's candidates.
 
-    Args:
-      boxes: [N, 6] rows ``[cx, cy, w, h, conf, cls]`` (decode output).
-      conf_threshold: candidates at or below this are dropped (reference uses
-        strict ``conf > threshold``: yolo_utils.py:334).
-      iou_threshold: suppression IoU.
-      top_k: static prefilter size.
-      max_detections: static output size.
+def _default_backend() -> str:
+    """Suppression backend. Override with PODTPU_NMS_BACKEND=pallas|xla.
 
-    Returns:
-      (out, valid): out is [max_detections, 6] sorted by descending conf with
-      zero padding; valid is [max_detections] bool.
+    The Pallas kernel fuses the IoU matrix + loop in VMEM on TPU; XLA is the
+    portable default.
     """
+    import os
+
+    env = os.environ.get("PODTPU_NMS_BACKEND")
+    if env:
+        return env
+    return "xla"
+
+
+def _select_candidates(boxes: jnp.ndarray, conf_threshold: float, top_k: int):
+    """[N, 6] -> (cand [K, 6], cand_valid [K], offset_boxes [K, 4])."""
     n = boxes.shape[0]
     k = min(top_k, n)
-
     conf = boxes[:, 4]
     score = jnp.where(conf > conf_threshold, conf, -1.0)
     top_scores, top_idx = jax.lax.top_k(score, k)
-    cand = boxes[top_idx]  # [K, 6] sorted by masked score desc
+    cand = boxes[top_idx]
     cand_valid = top_scores > 0.0
 
     xyxy = cxcywh_to_xyxy(cand[:, 0:4])
@@ -71,19 +65,25 @@ def nms_padded(
     # full coordinate span — untrained heads can emit exp() boxes far larger
     # than the image, so derive it from the data like torchvision does.
     span = jnp.maximum(jnp.max(jnp.abs(xyxy)), _CLASS_OFFSET) * 2.0 + 1.0
-    offset = cand[:, 5:6] * span
-    iou = pairwise_iou(xyxy + offset, xyxy + offset)  # [K, K]
+    offset_boxes = xyxy + cand[:, 5:6] * span
+    return cand, cand_valid, offset_boxes
 
+
+def _xla_suppress(offset_boxes: jnp.ndarray, cand_valid: jnp.ndarray,
+                  iou_threshold: float) -> jnp.ndarray:
+    k = offset_boxes.shape[0]
+    iou = pairwise_iou(offset_boxes, offset_boxes)
     suppress = (iou > iou_threshold) & ~jnp.eye(k, dtype=bool)
 
     def body(i, keep):
-        # If candidate i is still alive, it is kept and kills its overlaps.
         alive = keep[i]
         return jnp.where(alive, keep & ~suppress[i], keep)
 
-    keep = jax.lax.fori_loop(0, k, body, cand_valid)
+    return jax.lax.fori_loop(0, k, body, cand_valid)
 
-    # Gather kept boxes (already score-sorted) into the fixed output buffer.
+
+def _finalize(cand: jnp.ndarray, keep: jnp.ndarray, max_detections: int):
+    k = cand.shape[0]
     kept_score = jnp.where(keep, cand[:, 4], -1.0)
     out_scores, out_idx = jax.lax.top_k(kept_score, min(max_detections, k))
     out = cand[out_idx]
@@ -96,15 +96,47 @@ def nms_padded(
     return out, valid
 
 
-@functools.partial(jax.jit, static_argnames=("top_k", "max_detections"))
+@functools.partial(jax.jit, static_argnames=_STATIC)
 def batched_class_aware_nms(
     boxes: jnp.ndarray,
     conf_threshold: float = 0.25,
     iou_threshold: float = 0.45,
     top_k: int = 512,
     max_detections: int = 100,
+    backend: str | None = None,
 ):
-    """vmap of :func:`nms_padded` over the batch: [B, N, 6] -> ([B, M, 6], [B, M])."""
-    return jax.vmap(
-        lambda b: nms_padded(b, conf_threshold, iou_threshold, top_k, max_detections)
+    """[B, N, 6] candidates -> ([B, max_det, 6], [B, max_det] valid)."""
+    if backend is None:
+        backend = _default_backend()
+    cand, cand_valid, offset_boxes = jax.vmap(
+        lambda b: _select_candidates(b, conf_threshold, top_k)
     )(boxes)
+    if backend in ("pallas", "pallas_interpret"):
+        from podtpu.ops.pallas.nms_kernel import pallas_greedy_suppress
+
+        keep = pallas_greedy_suppress(
+            offset_boxes, cand_valid, iou_threshold,
+            interpret=(backend == "pallas_interpret"),
+        ) > 0.5
+    else:
+        keep = jax.vmap(
+            lambda ob, cv: _xla_suppress(ob, cv, iou_threshold)
+        )(offset_boxes, cand_valid)
+    return jax.vmap(lambda c, kp: _finalize(c, kp, max_detections))(cand, keep)
+
+
+@functools.partial(jax.jit, static_argnames=_STATIC)
+def nms_padded(
+    boxes: jnp.ndarray,
+    conf_threshold: float = 0.25,
+    iou_threshold: float = 0.45,
+    top_k: int = 512,
+    max_detections: int = 100,
+    backend: str | None = None,
+):
+    """Single-image NMS: [N, 6] -> ([max_det, 6], [max_det] valid)."""
+    out, valid = batched_class_aware_nms(
+        boxes[None], conf_threshold, iou_threshold, top_k, max_detections,
+        backend,
+    )
+    return out[0], valid[0]

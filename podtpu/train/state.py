@@ -23,7 +23,13 @@ class TrainState(train_state.TrainState):
 
 
 def create_train_state(cfg: dict, rng: jax.Array) -> TrainState:
-    """Init the model named in ``cfg`` and wrap it with its optimizer."""
+    """Init the model named in ``cfg`` and wrap it with its optimizer.
+
+    ``cfg['backbone_pretrained']`` may point at a weights ``.npz`` (e.g. from
+    ``pretrain_darknet.py``); matching leaves — the ``backbone`` scope —
+    are loaded, the rest keep their init (the reference's partial-load
+    recipe: models/backbone/darknet.py:134-150, train_yolov4-tiny.py:32-34).
+    """
     model = build_model(cfg)
     size = cfg["input_size"]
     dummy = jax.numpy.zeros((1, size, size, cfg.get("in_channels", 3)),
@@ -32,9 +38,15 @@ def create_train_state(cfg: dict, rng: jax.Array) -> TrainState:
     params = variables["params"]
     batch_stats = variables.get("batch_stats", core.FrozenDict())
     tx = build_optimizer(cfg, params)
-    return TrainState.create(
+    state = TrainState.create(
         apply_fn=model.apply, params=params, tx=tx, batch_stats=batch_stats
     )
+    pretrained = cfg.get("backbone_pretrained")
+    if pretrained:
+        from podtpu.export.weights import load_npz_weights
+
+        state = load_npz_weights(state, pretrained, allow_partial=True)
+    return state
 
 
 def param_count(params) -> int:

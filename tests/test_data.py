@@ -105,3 +105,64 @@ def test_loader_host_sharding(synth):
             seen.append(batch["img"].shape[0])
     # 12 images split 6/6 across two hosts, batch 3 -> 4 batches of 3
     assert seen == [3, 3, 3, 3]
+
+
+def test_mosaic_mixup_cutout():
+    from podtpu.data.augment import cutout, mixup, mosaic4
+
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 255, (120, 160, 3)).astype(np.uint8) for _ in range(4)]
+    boxes = [
+        np.array([[0, 10, 10, 60, 60]], np.float32),
+        np.array([[1, 20, 20, 100, 80]], np.float32),
+        np.zeros((0, 5), np.float32),
+        np.array([[2, 5, 5, 50, 90]], np.float32),
+    ]
+    canvas, out = mosaic4(imgs, boxes, 160, rng)
+    assert canvas.shape == (320, 320, 3)
+    assert out.shape[1] == 5
+    assert (out[:, 1:] >= 0).all() and (out[:, 1:] <= 320).all()
+
+    im, bx = mixup(imgs[0], boxes[0], imgs[1], boxes[1], rng)
+    assert im.shape == imgs[0].shape
+    assert len(bx) == 2
+
+    im2, bx2 = cutout(imgs[0].copy(), boxes[0].copy(), rng)
+    assert im2.shape == imgs[0].shape
+    assert len(bx2) <= 1
+
+
+def test_backbone_pretrained_partial_load(tmp_path):
+    import jax
+
+    from podtpu.export.weights import SEP
+    from podtpu.train.state import create_train_state
+
+    cfg = {
+        "model": "yolov3", "num_classes": 3, "input_size": 64,
+        "compute_dtype": "float32",
+        "anchors": [[4, 5], [6, 8], [10, 9], [12, 16], [18, 14],
+                    [20, 24], [32, 28], [40, 44], [56, 52]],
+        "optimizer": "sgd", "optimizer_options": {"lr": 1e-3},
+    }
+    base = create_train_state(cfg, jax.random.PRNGKey(0))
+
+    # fake "pretrained classifier" npz containing only the backbone scope,
+    # with recognizable values
+    arrays = {}
+    flat = jax.tree_util.tree_flatten_with_path(base.params["backbone"])[0]
+    for path, leaf in flat:
+        key = "params" + SEP + "backbone" + SEP + SEP.join(
+            p.key for p in path
+        )
+        arrays[key] = np.full(leaf.shape, 0.123, leaf.dtype)
+    npz = str(tmp_path / "bb.npz")
+    np.savez(npz, **arrays)
+
+    cfg2 = dict(cfg, backbone_pretrained=npz)
+    loaded = create_train_state(cfg2, jax.random.PRNGKey(0))
+    bb_leaves = jax.tree_util.tree_leaves(loaded.params["backbone"])
+    assert all(np.allclose(np.asarray(l), 0.123) for l in bb_leaves)
+    # head params untouched by the partial load (still finite, not 0.123)
+    head = jax.tree_util.tree_leaves(loaded.params["p5_head"])
+    assert not np.allclose(np.asarray(head[0]), 0.123)
