@@ -37,6 +37,7 @@ def inference(cfg: dict, ckpt: str | None, out_dir: str | None,
     for idx, batch in enumerate(loader):
         if limit is not None and idx >= limit:
             break
+        batch.pop("n_valid", None)
         dev_batch = trainer._put(batch)
         t0 = time.perf_counter()
         _, dets, valid = trainer.eval_step(trainer.state, dev_batch)

@@ -30,6 +30,7 @@ def make_pred_files(cfg: dict, ckpt: str | None, out_dir: str):
     os.makedirs(out_dir, exist_ok=True)
 
     for idx, batch in enumerate(loader):
+        batch.pop("n_valid", None)
         dev_batch = trainer._put(batch)
         _, dets, valid = trainer.eval_step(trainer.state, dev_batch)
         dets = np.asarray(dets[0])[np.asarray(valid[0])]

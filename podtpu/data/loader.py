@@ -85,6 +85,11 @@ class Loader:
         )
 
     def __iter__(self):
+        """Yields {img, annot, n_valid}. Every batch has the full static
+        ``batch_size``: a ragged final batch (eval, drop_last=False) is padded
+        by repeating its last sample, with ``n_valid`` recording how many rows
+        are real — static shapes mean one XLA program and no mesh-divisibility
+        surprises; metrics slice by n_valid."""
         indices = self._indices()
         nb = len(self)
         batches = [
@@ -103,6 +108,12 @@ class Loader:
                     for batch_idx in batches:
                         if stop.is_set():
                             return
+                        n_valid = len(batch_idx)
+                        if n_valid < self.batch_size:
+                            pad = self.batch_size - n_valid
+                            batch_idx = np.concatenate(
+                                [batch_idx, np.repeat(batch_idx[-1:], pad)]
+                            )
                         samples = list(
                             pool.map(
                                 lambda i: self.dataset.get(
@@ -115,7 +126,8 @@ class Loader:
                         annots = pad_annotations(
                             [s[1] for s in samples], self.max_annots
                         )
-                        q.put({"img": imgs, "annot": annots})
+                        q.put({"img": imgs, "annot": annots,
+                               "n_valid": n_valid})
             except BaseException as exc:  # propagate to the consumer
                 q.put(exc)
             else:

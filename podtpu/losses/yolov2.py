@@ -15,6 +15,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from podtpu.losses.common import bce_logits, masked_ciou_loss, masked_sum, sigmoid
+# exp() of unbounded wh logits overflows once training diverges and
+# poisons the CIoU with NaNs (the reference shares this fragility);
+# +-15 is far outside the trained regime (|wh logit| < ~3) and keeps
+# the pathological case finite so the loss can pull weights back.
+_WH_CLAMP = 15.0
+
 from podtpu.ops.assign import encode_anchor_targets
 
 
@@ -45,7 +51,7 @@ def yolov2_loss_v2(
         target, num_classes, anchors, w, h, ignore_threshold
     )
 
-    pbox = jnp.concatenate([sigmoid(xy), jnp.exp(wh)], axis=-1)
+    pbox = jnp.concatenate([sigmoid(xy), jnp.exp(jnp.clip(wh, -_WH_CLAMP, _WH_CLAMP))], axis=-1)
     box_loss = lambda_coord * masked_ciou_loss(pbox, t.tbox, t.mask)
 
     pconf = sigmoid(conf)
@@ -79,7 +85,7 @@ def yolov2_loss(
     )
 
     pxy = sigmoid(xy)
-    pwh = jnp.exp(wh)
+    pwh = jnp.exp(jnp.clip(wh, -_WH_CLAMP, _WH_CLAMP))
     box_loss = lambda_coord * (
         jnp.sum((pxy[..., 0] * t.mask - t.tbox[..., 0]) ** 2)
         + jnp.sum((pxy[..., 1] * t.mask - t.tbox[..., 1]) ** 2)

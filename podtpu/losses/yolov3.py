@@ -27,6 +27,12 @@ from podtpu.losses.common import (
     sigmoid,
     smooth_bce,
 )
+# exp() of unbounded wh logits overflows once training diverges and
+# poisons the CIoU with NaNs (the reference shares this fragility);
+# +-15 is far outside the trained regime (|wh logit| < ~3) and keeps
+# the pathological case finite so the loss can pull weights back.
+_WH_CLAMP = 15.0
+
 from podtpu.ops.assign import encode_anchor_targets
 
 
@@ -83,7 +89,7 @@ def yolov3_loss_v2(
             ignore_threshold, cls_pos, cls_neg,
         )
 
-        pbox = jnp.concatenate([sigmoid(xy), jnp.exp(wh)], axis=-1)
+        pbox = jnp.concatenate([sigmoid(xy), jnp.exp(jnp.clip(wh, -_WH_CLAMP, _WH_CLAMP))], axis=-1)
         box_loss = lambda_coord * masked_ciou_loss(pbox, t.tbox, t.mask)
 
         pconf = sigmoid(conf)
@@ -119,7 +125,7 @@ def yolov3_loss(
         )
 
         pxy = sigmoid(xy)
-        pwh = jnp.exp(wh)
+        pwh = jnp.exp(jnp.clip(wh, -_WH_CLAMP, _WH_CLAMP))
         box_loss = lambda_coord * (
             jnp.sum((pxy[..., 0] * t.mask - t.tbox[..., 0]) ** 2)
             + jnp.sum((pxy[..., 1] * t.mask - t.tbox[..., 1]) ** 2)
@@ -165,7 +171,7 @@ def yolov3_loss_v3(
         # union reproduces the sequential writes exactly.)
         tconf = jnp.maximum(t.mask, 1.0 - t.noobj_mask)
 
-        pbox = jnp.concatenate([sigmoid(xy), jnp.exp(wh)], axis=-1)
+        pbox = jnp.concatenate([sigmoid(xy), jnp.exp(jnp.clip(wh, -_WH_CLAMP, _WH_CLAMP))], axis=-1)
         lbox = lbox + masked_ciou_loss(pbox, t.tbox, t.mask)
         lobj = lobj + masked_sum(bce_logits(conf, jnp.ones_like(conf)), tconf)
         lcls = lcls + masked_sum(bce_logits(cls, t.tcls), t.mask)

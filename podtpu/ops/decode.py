@@ -57,7 +57,9 @@ def decode_anchor_head(
 
     grid = _grid_xy(layer_h, layer_w)[:, :, None, :]  # [H, W, 1, 2]
     pxy = jax.nn.sigmoid(pred[..., 0:2]) + grid
-    pwh = jnp.exp(pred[..., 2:4]) * anchors_grid[None, None, :, :]
+    # clamp keeps half-trained checkpoints from emitting inf boxes that
+    # poison NMS IoUs (no effect in the trained regime, |wh logit| < ~3)
+    pwh = jnp.exp(jnp.clip(pred[..., 2:4], -15.0, 15.0)) * anchors_grid[None, None, :, :]
     pbox = jnp.concatenate([pxy, pwh], axis=-1) * jnp.array(
         [stride_w, stride_h, stride_w, stride_h], dtype=jnp.float32
     )

@@ -42,6 +42,13 @@ def build_optimizer(cfg: dict, params) -> optax.GradientTransformation:
     weight_decay = float(opts.get("weight_decay", 0.0))
     mask = kernel_decay_mask(params)
 
+    clip_norm = opts.get("clip_grad_norm")  # stability knob (default off)
+
+    def with_clip(*transforms):
+        chain = ([optax.clip_by_global_norm(float(clip_norm))]
+                 if clip_norm else [])
+        return optax.chain(*chain, *transforms)
+
     if name == "sgd":
         momentum = float(opts.get("momentum", 0.0))
         nesterov = bool(opts.get("nesterov", False))
@@ -51,19 +58,21 @@ def build_optimizer(cfg: dict, params) -> optax.GradientTransformation:
         chain.append(
             optax.sgd(schedule, momentum=momentum or None, nesterov=nesterov)
         )
-        return optax.chain(*chain)
+        return with_clip(*chain)
     if name == "adam":
         chain = []
         if weight_decay:
             chain.append(optax.add_decayed_weights(weight_decay, mask=mask))
         chain.append(optax.adam(schedule))
-        return optax.chain(*chain)
+        return with_clip(*chain)
     if name == "radam":
         chain = []
         if weight_decay:
             chain.append(optax.add_decayed_weights(weight_decay, mask=mask))
         chain.append(optax.radam(schedule))
-        return optax.chain(*chain)
+        return with_clip(*chain)
     if name == "adamw":
-        return optax.adamw(schedule, weight_decay=weight_decay, mask=mask)
+        return with_clip(
+            optax.adamw(schedule, weight_decay=weight_decay, mask=mask)
+        )
     raise ValueError(f"unknown optimizer '{name}'")

@@ -104,7 +104,7 @@ class Trainer:
                  log: Callable[[str], None] = print, use_mesh: bool = True):
         self.cfg = cfg
         self.log = log
-        self.mesh = make_mesh() if use_mesh else None
+        self.mesh = self._pick_mesh(cfg) if use_mesh else None
         rng = jax.random.PRNGKey(cfg.get("seed", 0))
         self.rng = rng
         self.state = create_train_state(cfg, rng)
@@ -128,6 +128,16 @@ class Trainer:
             f"model={cfg['model']} params={param_count(self.state.params):,} "
             f"run_dir={self.run_dir}"
         )
+
+    @staticmethod
+    def _pick_mesh(cfg):
+        """Data mesh over the most devices that evenly divide the batch."""
+        devices = jax.devices()
+        batch = int(cfg.get("batch_size", 1))
+        n = len(devices)
+        while n > 1 and batch % n != 0:
+            n -= 1
+        return make_mesh(devices[:n])
 
     @property
     def writer(self):
@@ -170,7 +180,7 @@ class Trainer:
             t_epoch = time.time()
             n_images = 0
             for batch in train_loader:
-                n_images += batch["img"].shape[0]
+                n_images += batch.pop("n_valid", batch["img"].shape[0])
                 batch = self._put(batch)
                 self.state, metrics = self.train_step(
                     self.state, batch, self.rng
@@ -223,10 +233,16 @@ class Trainer:
         losses = []
         val_loader.set_epoch(0)
         for batch in val_loader:
+            n_valid = batch.pop("n_valid", batch["img"].shape[0])
             dev_batch = self._put(batch)
             loss, dets, valid = self.eval_step(self.state, dev_batch)
             losses.append(float(loss))
-            self.map_metric.update_state(batch["annot"], dets, valid)
+            # a padded final batch repeats its last sample — slice them off
+            self.map_metric.update_state(
+                batch["annot"][:n_valid],
+                np.asarray(dets)[:n_valid],
+                np.asarray(valid)[:n_valid],
+            )
         val_loss = float(np.mean(losses)) if losses else float("nan")
         val_map = self.map_metric.result()
         return {"val_loss": val_loss, "val_mAP": val_map}

@@ -1,0 +1,92 @@
+"""Trainer end-to-end: fit on a tiny synthetic dataset, checkpoints, resume,
+validate — the CPU-runnable convergence smoke SURVEY.md §4 calls for."""
+
+import os
+
+import numpy as np
+import pytest
+
+from podtpu.data import Loader
+from podtpu.data.dataset import YoloTxtDataset
+from podtpu.data.synthetic import generate
+from podtpu.train.trainer import Trainer, restore_weights
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    data_dir = tmp_path_factory.mktemp("data")
+    info = generate(str(data_dir), n_train=8, n_val=4, size=96,
+                    num_classes=2, max_objects=2, seed=3)
+    cfg = {
+        "model": "yolov4-tiny",
+        "dataset_name": "synth",
+        "num_classes": 2,
+        "input_size": 96,
+        "in_channels": 3,
+        "compute_dtype": "float32",
+        "anchors": [[8, 8], [12, 16], [16, 12], [20, 24], [28, 22],
+                    [32, 36], [44, 40], [56, 60], [72, 68]],
+        "conf_threshold": 0.25,
+        "max_annots": 4,
+        "epochs": 2,
+        "batch_size": 4,
+        "workers": 2,
+        "save_freq": 1,
+        "save_dir": str(tmp_path_factory.mktemp("runs")),
+        "trainer_options": {"check_val_every_n_epoch": 1},
+        "early_stopping_patience": 30,
+        "optimizer": "sgd",
+        "optimizer_options": {"lr": 1e-3, "momentum": 0.9,
+                              "weight_decay": 1e-4, "nesterov": True},
+        "scheduler": "yolo_lr",
+        "scheduler_options": {"burn_in": 4, "steps": [100], "scales": [0.1]},
+        "top_k_candidates": 64,
+        "max_detections": 10,
+        "train_list": info["train_list"],
+        "val_list": info["val_list"],
+        "names": info["names"],
+        "seed": 0,
+    }
+    return cfg
+
+
+def _loaders(cfg):
+    train_ds = YoloTxtDataset(cfg["train_list"], cfg["input_size"], True,
+                              "simple")
+    val_ds = YoloTxtDataset(cfg["val_list"], cfg["input_size"], False,
+                            "simple")
+    mk = lambda ds, sh: Loader(ds, batch_size=4, shuffle=sh,
+                               max_annots=4, workers=2, seed=0)
+    return mk(train_ds, True), mk(val_ds, False)
+
+
+def test_fit_validate_checkpoint_resume(setup):
+    cfg = setup
+    train_loader, val_loader = _loaders(cfg)
+    trainer = Trainer(cfg, log=lambda *_: None)
+    history = trainer.fit(train_loader, val_loader, epochs=2)
+
+    assert len(history) == 2
+    assert {"train_loss", "lr", "val_loss", "val_mAP"} <= set(history[-1])
+    assert np.isfinite(history[-1]["train_loss"])
+    ckpt_dir = os.path.join(trainer.run_dir, "checkpoints")
+    assert os.path.isdir(os.path.join(ckpt_dir, "last"))
+    assert os.path.isdir(os.path.join(ckpt_dir, "best"))
+    assert os.path.isdir(os.path.join(ckpt_dir, "epoch_0000"))
+
+    # resume restores the step counter
+    trainer2 = Trainer(cfg, log=lambda *_: None)
+    assert int(trainer2.state.step) == 0
+    trainer2.state = trainer2.ckpt.restore(
+        os.path.join(ckpt_dir, "last"), trainer2.state
+    )
+    assert int(trainer2.state.step) == int(trainer.state.step) > 0
+
+    # weights-only restore + validate
+    trainer3 = Trainer(cfg, log=lambda *_: None)
+    trainer3.state = restore_weights(
+        os.path.join(ckpt_dir, "best"), trainer3.state
+    )
+    result = trainer3.validate(val_loader)
+    assert np.isfinite(result["val_loss"])
+    assert 0.0 <= result["val_mAP"] <= 1.0
