@@ -24,4 +24,10 @@ def build_loss(cfg: dict):
         return lambda preds, annots: yolov3_loss_v2(
             preds, annots, cfg["num_classes"], cfg["anchors"], cfg["input_size"]
         )
+    if name == "retinanet":
+        from podtpu.ops.retina import retinanet_loss
+
+        return lambda preds, annots: retinanet_loss(
+            preds, annots, cfg["num_classes"], cfg["input_size"]
+        )
     raise ValueError(f"unknown model '{name}'")

@@ -40,4 +40,8 @@ def build_model(cfg: dict):
         return YoloV4Tiny(
             num_classes=num_classes, num_anchors=len(cfg["anchors"]), dtype=dtype
         )
+    if name == "retinanet":
+        from podtpu.models.retinanet import RetinaNet
+
+        return RetinaNet(num_classes=num_classes, dtype=dtype)
     raise ValueError(f"unknown model '{name}'")

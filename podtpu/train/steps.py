@@ -40,6 +40,10 @@ def make_decoder(cfg: dict) -> Callable:
     if name in ("yolov3", "yolov4-tiny"):
         anchors = cfg["anchors"]
         return lambda preds: decode_yolov3(preds, num_classes, anchors, input_size)
+    if name == "retinanet":
+        from podtpu.ops.retina import decode_retinanet
+
+        return lambda preds: decode_retinanet(preds, num_classes, input_size)
     raise ValueError(f"unknown model '{name}'")
 
 
