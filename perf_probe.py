@@ -1,0 +1,93 @@
+"""Perf probe: break down where the YOLOv3-416 train step spends time on TPU.
+
+Measures forward-only, forward+loss, full train step, and the eval path
+(forward+decode+NMS) at several batch sizes, printing images/sec/chip for
+each. Run on the real chip after freeing it (this is a tuning tool, not the
+driver benchmark — that's bench.py).
+
+    python perf_probe.py [--batches 32 64 128] [--platform cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from podtpu.config import setup_platform
+
+
+def timeit(fn, *args, iters=10, warmup=3):
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, nargs="+", default=[32, 64, 128])
+    ap.add_argument("--platform", type=str, default=None)
+    args = ap.parse_args()
+    setup_platform(args.platform)
+
+    from __graft_entry__ import _flagship_cfg
+    from podtpu.losses import build_loss
+    from podtpu.models import build_model
+    from podtpu.train.state import create_train_state
+    from podtpu.train.steps import make_eval_step, make_train_step
+
+    cfg = _flagship_cfg()
+    model = build_model(cfg)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    loss_fn = build_loss(cfg)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    r = np.random.default_rng(0)
+    for batch_size in args.batches:
+        imgs = jnp.asarray(
+            r.uniform(0, 1, (batch_size, 416, 416, 3)).astype(np.float32)
+        )
+        annot = -np.ones((batch_size, cfg["max_annots"], 5), np.float32)
+        annot[:, :8, :4] = r.uniform(0.2, 0.6, (batch_size, 8, 4))
+        annot[:, :8, 4] = r.integers(0, 20, (batch_size, 8))
+        annot_j = jnp.asarray(annot)
+        batch = {"img": imgs, "annot": annot_j}
+
+        fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+        fwd_loss = jax.jit(
+            lambda v, x, a: loss_fn(model.apply(v, x, train=False), a)
+        )
+        train_step = make_train_step(cfg, mesh=None, donate=False)
+        eval_step = make_eval_step(cfg, mesh=None)
+        rng = jax.random.PRNGKey(0)
+
+        try:
+            t_fwd = timeit(fwd, variables, imgs)
+            t_fl = timeit(fwd_loss, variables, imgs, annot_j)
+            t_train = timeit(train_step, state, batch, rng, iters=8)
+            t_eval = timeit(eval_step, state, batch)
+        except Exception as exc:  # OOM at large batches
+            print(f"B={batch_size}: {type(exc).__name__}: {str(exc)[:120]}")
+            continue
+
+        def ips(t):
+            return batch_size / t
+
+        print(
+            f"B={batch_size:4d}  fwd {ips(t_fwd):7.1f} img/s | "
+            f"fwd+loss {ips(t_fl):7.1f} | train {ips(t_train):7.1f} | "
+            f"eval(decode+nms) {ips(t_eval):7.1f}"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""COCO-style evaluator + PR-curve/confusion-matrix tests."""
+
+import numpy as np
+import pytest
+
+from podtpu.metrics.coco import coco_eval
+from podtpu.metrics.curves import ConfusionMatrix, ap_per_class
+
+
+def test_coco_perfect():
+    true = np.array([[0, 50, 50, 20, 20, 1.0, 0]], np.float32)
+    pred = np.array([[0, 50, 50, 20, 20, 0.9, 0]], np.float32)
+    r = coco_eval(true, pred, 1)
+    assert r["AP"] == pytest.approx(1.0, abs=0.02)
+    assert r["AP50"] == pytest.approx(1.0, abs=0.02)
+
+
+def test_coco_loose_box_passes_50_not_75():
+    # ~60% IoU box: counts at 0.5, not at 0.75
+    true = np.array([[0, 50, 50, 20, 20, 1.0, 0]], np.float32)
+    pred = np.array([[0, 54, 50, 20, 20, 0.9, 0]], np.float32)  # IoU ~0.667
+    r = coco_eval(true, pred, 1)
+    assert r["AP50"] == pytest.approx(1.0, abs=0.02)
+    assert r["AP75"] == pytest.approx(0.0, abs=0.02)
+    assert 0.0 < r["AP"] < 1.0
+
+
+def test_coco_matcher_prefers_unmatched_gt():
+    """COCO matcher: a det whose best GT is taken can match another GT
+    (unlike the VOC-style matcher)."""
+    true = np.array([
+        [0, 50, 50, 20, 20, 1.0, 0],
+        [0, 56, 50, 20, 20, 1.0, 0],  # IoU(det2, GT1) = 15/25 = 0.6
+    ], np.float32)
+    pred = np.array([
+        [0, 50, 50, 20, 20, 0.95, 0],  # takes GT0
+        [0, 51, 50, 20, 20, 0.90, 0],  # best is GT0 (taken) but GT1 clears 0.5
+    ], np.float32)
+    r = coco_eval(true, pred, 1)
+    assert r["AP50"] == pytest.approx(1.0, abs=0.02)
+
+
+def test_ap_per_class_outputs():
+    rng = np.random.default_rng(0)
+    true = np.zeros((30, 7), np.float32)
+    true[:, 0] = rng.integers(0, 10, 30)
+    true[:, 1:5] = rng.uniform(50, 300, (30, 4))
+    true[:, 3:5] = rng.uniform(20, 60, (30, 2))
+    true[:, 5] = 1
+    true[:, 6] = rng.integers(0, 3, 30)
+    pred = true.copy()
+    pred[:, 5] = rng.uniform(0.5, 1.0, 30)
+    out = ap_per_class(true, pred, 3)
+    assert out["ap"].shape == (3,)
+    assert (out["ap"] > 0.9).all()  # perfect boxes
+    assert (out["f1"] > 0.9).all()
+
+
+def test_confusion_matrix():
+    cm = ConfusionMatrix(num_classes=2, conf_threshold=0.25)
+    gts = np.array([
+        [0, 50, 50, 20, 20, 1.0, 0],
+        [0, 150, 150, 20, 20, 1.0, 1],
+    ], np.float32)
+    dets = np.array([
+        [0, 50, 50, 20, 20, 0.9, 0],    # correct class 0
+        [0, 150, 150, 20, 20, 0.9, 0],  # class confusion: pred 0, true 1
+        [0, 300, 300, 20, 20, 0.9, 1],  # FP vs background
+    ], np.float32)
+    cm.update(dets, gts)
+    assert cm.matrix[0, 0] == 1
+    assert cm.matrix[0, 1] == 1
+    assert cm.matrix[1, 2] == 1  # FP vs bg
+    assert cm.matrix.sum() == 3

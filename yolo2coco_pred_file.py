@@ -77,7 +77,29 @@ def run(cfg: dict, ckpt: str | None, ann_json: str, out_json: str):
         ev.accumulate()
         ev.summarize()
     except ImportError:
-        print("pycocotools not installed; skipping in-process COCOeval")
+        # built-in COCO-style evaluator (podtpu/metrics/coco.py)
+        from podtpu.metrics.coco import coco_eval
+
+        img_index = {info["id"]: i for i, info in enumerate(images)}
+        true_rows, pred_rows = [], []
+        for ann in coco.get("annotations", []):
+            x, y, w, h = ann["bbox"]
+            true_rows.append([
+                img_index[ann["image_id"]], x + w / 2, y + h / 2, w, h,
+                1.0, ann["category_id"] - 1,
+            ])
+        for det in results:
+            x, y, w, h = det["bbox"]
+            pred_rows.append([
+                img_index[det["image_id"]], x + w / 2, y + h / 2, w, h,
+                det["score"], det["category_id"] - 1,
+            ])
+        num_classes = cfg["num_classes"]
+        r = coco_eval(np.asarray(true_rows, np.float32),
+                      np.asarray(pred_rows, np.float32), num_classes)
+        print("pycocotools not installed; built-in COCO-style eval:")
+        print(f"  AP@[.5:.95] = {r['AP']:.4f}  AP50 = {r['AP50']:.4f}  "
+              f"AP75 = {r['AP75']:.4f}")
 
 
 def main():
