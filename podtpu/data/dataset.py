@@ -44,13 +44,16 @@ def label_path_for(img_path: str) -> str:
 
 class YoloTxtDataset:
     def __init__(self, list_file: str, input_size: int, augment: bool,
-                 pipeline: str = "letterbox"):
+                 pipeline: str = "letterbox", mosaic: float = 0.0):
         with open(list_file, "r") as f:
             self.imgs = [l for l in f.read().splitlines() if l.strip()]
         self.input_size = input_size
         self.augment = augment
         assert pipeline in ("letterbox", "simple")
         self.pipeline = pipeline
+        # 4-image mosaic probability (the reference defines load_mosaic but
+        # never wires it — datasets.py:185-239; here it's opt-in via cfg)
+        self.mosaic = mosaic
 
     def __len__(self) -> int:
         return len(self.imgs)
@@ -58,8 +61,56 @@ class YoloTxtDataset:
     def get(self, index: int, seed: int):
         rng = np.random.default_rng(seed)
         if self.pipeline == "letterbox":
+            if self.augment and self.mosaic > 0 and rng.random() < self.mosaic:
+                return self._mosaic_sample(index, rng)
             return self._letterbox_sample(index, rng)
         return self._simple_sample(index, rng)
+
+    def _mosaic_sample(self, index: int, rng: np.random.Generator):
+        size = self.input_size
+        indices = [index] + list(rng.integers(0, len(self.imgs), 3))
+        imgs, boxes_px = [], []
+        for i in indices:
+            im, _, (h, w) = A.load_resized(self.imgs[int(i)], size, True)
+            labels = read_yolo_labels(label_path_for(self.imgs[int(i)]))
+            if len(labels):
+                cx = labels[:, 1] * w
+                cy = labels[:, 2] * h
+                bw = labels[:, 3] * w
+                bh = labels[:, 4] * h
+                b = np.stack([labels[:, 0], cx - bw / 2, cy - bh / 2,
+                              cx + bw / 2, cy + bh / 2], axis=1)
+            else:
+                b = np.zeros((0, 5), np.float32)
+            imgs.append(im)
+            boxes_px.append(b)
+        canvas, boxes = A.mosaic4(imgs, boxes_px, size, rng)
+        # affine shrinks the 2S canvas back to S (border = -S/2 semantics
+        # handled by the scale distribution here)
+        canvas = _resize(canvas, size)
+        boxes = boxes.copy()
+        if len(boxes):
+            boxes[:, 1:] *= 0.5
+        im, boxes = A.random_affine(canvas, boxes, rng,
+                                    degrees=0.0, translate=0.1,
+                                    scale=0.5, shear=0.0)
+        out = np.zeros((len(boxes), 5), np.float32)
+        if len(boxes):
+            hh, ww = im.shape[:2]
+            x1 = boxes[:, 1].clip(0, ww - 1e-3)
+            y1 = boxes[:, 2].clip(0, hh - 1e-3)
+            x2 = boxes[:, 3].clip(0, ww - 1e-3)
+            y2 = boxes[:, 4].clip(0, hh - 1e-3)
+            out[:, 0] = (x1 + x2) / 2 / ww
+            out[:, 1] = (y1 + y2) / 2 / hh
+            out[:, 2] = (x2 - x1) / ww
+            out[:, 3] = (y2 - y1) / hh
+            out[:, 4] = boxes[:, 0]
+        im = A.augment_hsv(im, rng)
+        if rng.random() < 0.5:
+            im, out = self._flip_bgr(im, out)
+        im = np.ascontiguousarray(im[:, :, ::-1], dtype=np.float32) / 255.0
+        return im, out
 
     # -- letterbox (v3) path ------------------------------------------------
     def _letterbox_sample(self, index: int, rng: np.random.Generator):
@@ -149,6 +200,12 @@ class YoloTxtDataset:
         return im, boxes
 
 
+def _resize(im, size):
+    import cv2
+
+    return cv2.resize(im, (size, size), interpolation=cv2.INTER_LINEAR)
+
+
 def build_datasets(cfg: dict):
     """(train_ds, val_ds) with the reference's model->pipeline wiring:
     yolov3 uses the letterbox DataModule, v1/v2/v4-tiny use YoloDataModule
@@ -156,6 +213,7 @@ def build_datasets(cfg: dict):
     pipeline = cfg.get(
         "pipeline", "letterbox" if cfg["model"] == "yolov3" else "simple"
     )
-    train = YoloTxtDataset(cfg["train_list"], cfg["input_size"], True, pipeline)
+    train = YoloTxtDataset(cfg["train_list"], cfg["input_size"], True,
+                           pipeline, mosaic=float(cfg.get("mosaic", 0.0)))
     val = YoloTxtDataset(cfg["val_list"], cfg["input_size"], False, pipeline)
     return train, val

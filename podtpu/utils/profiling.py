@@ -45,6 +45,34 @@ class Profile(contextlib.ContextDecorator):
         return False
 
 
+class Timeout(contextlib.ContextDecorator):
+    """SIGALRM-based timeout context (general.py:65-82 role): raises or
+    suppresses ``TimeoutError`` after ``seconds``. Unix main-thread only."""
+
+    def __init__(self, seconds: float, suppress: bool = False,
+                 msg: str = "timed out"):
+        self.seconds = seconds
+        self.suppress = suppress
+        self.msg = msg
+
+    def _handler(self, signum, frame):
+        raise TimeoutError(self.msg)
+
+    def __enter__(self):
+        import signal
+
+        self._old = signal.signal(signal.SIGALRM, self._handler)
+        signal.setitimer(signal.ITIMER_REAL, self.seconds)
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        import signal
+
+        signal.setitimer(signal.ITIMER_REAL, 0)
+        signal.signal(signal.SIGALRM, self._old)
+        return self.suppress and exc_type is TimeoutError
+
+
 @contextlib.contextmanager
 def trace(logdir: str):
     """jax.profiler trace: view with TensorBoard's profile plugin or xprof."""

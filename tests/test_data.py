@@ -166,3 +166,16 @@ def test_backbone_pretrained_partial_load(tmp_path):
     # head params untouched by the partial load (still finite, not 0.123)
     head = jax.tree_util.tree_leaves(loaded.params["p5_head"])
     assert not np.allclose(np.asarray(head[0]), 0.123)
+
+
+def test_mosaic_pipeline_option(synth):
+    ds = YoloTxtDataset(synth["train_list"], 160, augment=True,
+                        pipeline="letterbox", mosaic=1.0)
+    img, boxes = ds.get(0, seed=11)
+    assert img.shape == (160, 160, 3)
+    assert 0.0 <= img.min() and img.max() <= 1.0
+    if len(boxes):
+        assert (boxes[:, :4] >= 0).all() and (boxes[:, :4] <= 1).all()
+    # deterministic per seed
+    img2, boxes2 = ds.get(0, seed=11)
+    np.testing.assert_array_equal(img, img2)

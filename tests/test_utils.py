@@ -89,3 +89,21 @@ def test_profile_and_steptimer():
 
     key = init_seeds(7)
     assert key is not None
+
+
+def test_timeout_context():
+    import time
+
+    from podtpu.utils.profiling import Timeout
+
+    with Timeout(5.0):
+        time.sleep(0.01)  # completes fine
+
+    import pytest as _pytest
+
+    with _pytest.raises(TimeoutError):
+        with Timeout(0.05):
+            time.sleep(0.5)
+
+    with Timeout(0.05, suppress=True):
+        time.sleep(0.5)  # suppressed

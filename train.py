@@ -59,8 +59,14 @@ def main():
                     help="override cfg epochs")
     ap.add_argument("--platform", type=str, default=None,
                     help="pin JAX backend (e.g. cpu) for local runs")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host: call jax.distributed.initialize() "
+                         "(coordinator/process env vars per JAX docs); the "
+                         "loader shards by process index automatically")
     args = ap.parse_args()
     setup_platform(args.platform)
+    if args.distributed:
+        jax.distributed.initialize()
     train(get_configs(args.cfg), resume=args.resume, epochs=args.epochs)
 
 
