@@ -24,7 +24,7 @@ import jax
 import numpy as np
 
 REF_GPU_IPS = 130.0
-BATCH = 64
+BATCH = 128
 WARMUP = 3
 ITERS = 10
 
