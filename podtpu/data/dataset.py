@@ -44,7 +44,8 @@ def label_path_for(img_path: str) -> str:
 
 class YoloTxtDataset:
     def __init__(self, list_file: str, input_size: int, augment: bool,
-                 pipeline: str = "letterbox", mosaic: float = 0.0):
+                 pipeline: str = "letterbox", mosaic: float = 0.0,
+                 cache_images: bool = False):
         with open(list_file, "r") as f:
             self.imgs = [l for l in f.read().splitlines() if l.strip()]
         self.input_size = input_size
@@ -54,6 +55,22 @@ class YoloTxtDataset:
         # 4-image mosaic probability (the reference defines load_mosaic but
         # never wires it — datasets.py:185-239; here it's opt-in via cfg)
         self.mosaic = mosaic
+        # opt-in in-RAM cache of decoded+pre-resized images (+ labels): JPEG
+        # decode dominates the host pipeline once the device step is fast
+        # (~390 KB/img at 416 -> ~5.5 GB for VOC-scale sets; enable via
+        # cfg `cache_images: true` when RAM allows)
+        self._cache: dict[int, tuple] | None = {} if cache_images else None
+
+    def _load_resized_cached(self, index: int):
+        if self._cache is not None and index in self._cache:
+            return self._cache[index]
+        path = self.imgs[index]
+        im, orig, resized = A.load_resized(path, self.input_size, self.augment)
+        labels = read_yolo_labels(label_path_for(path))
+        entry = (im, orig, resized, labels)
+        if self._cache is not None:
+            self._cache[index] = entry
+        return entry
 
     def __len__(self) -> int:
         return len(self.imgs)
@@ -71,8 +88,7 @@ class YoloTxtDataset:
         indices = [index] + list(rng.integers(0, len(self.imgs), 3))
         imgs, boxes_px = [], []
         for i in indices:
-            im, _, (h, w) = A.load_resized(self.imgs[int(i)], size, True)
-            labels = read_yolo_labels(label_path_for(self.imgs[int(i)]))
+            im, _, (h, w), labels = self._load_resized_cached(int(i))
             if len(labels):
                 cx = labels[:, 1] * w
                 cy = labels[:, 2] * h
@@ -114,12 +130,10 @@ class YoloTxtDataset:
 
     # -- letterbox (v3) path ------------------------------------------------
     def _letterbox_sample(self, index: int, rng: np.random.Generator):
-        path = self.imgs[index]
         size = self.input_size
-        im, (h0, w0), (h, w) = A.load_resized(path, size, self.augment)
+        im, (h0, w0), (h, w), labels = self._load_resized_cached(index)
         im, ratio, pad = A.letterbox(im, size, scaleup=self.augment)
-
-        labels = read_yolo_labels(label_path_for(path))  # [n,5] cls,cx,cy,w,h
+        # labels: [n,5] cls,cx,cy,w,h normalized
         if len(labels):
             # normalized cxcywh -> pixel xyxy in the letterboxed frame
             cx = labels[:, 1] * (ratio[0] * w) + pad[0]
@@ -213,7 +227,10 @@ def build_datasets(cfg: dict):
     pipeline = cfg.get(
         "pipeline", "letterbox" if cfg["model"] == "yolov3" else "simple"
     )
+    cache = bool(cfg.get("cache_images", False))
     train = YoloTxtDataset(cfg["train_list"], cfg["input_size"], True,
-                           pipeline, mosaic=float(cfg.get("mosaic", 0.0)))
-    val = YoloTxtDataset(cfg["val_list"], cfg["input_size"], False, pipeline)
+                           pipeline, mosaic=float(cfg.get("mosaic", 0.0)),
+                           cache_images=cache)
+    val = YoloTxtDataset(cfg["val_list"], cfg["input_size"], False, pipeline,
+                         cache_images=cache)
     return train, val

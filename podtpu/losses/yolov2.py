@@ -15,13 +15,13 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from podtpu.losses.common import bce_logits, masked_ciou_loss, masked_sum, sigmoid
+from podtpu.ops.assign import encode_anchor_targets
+
 # exp() of unbounded wh logits overflows once training diverges and
 # poisons the CIoU with NaNs (the reference shares this fragility);
 # +-15 is far outside the trained regime (|wh logit| < ~3) and keeps
 # the pathological case finite so the loss can pull weights back.
 _WH_CLAMP = 15.0
-
-from podtpu.ops.assign import encode_anchor_targets
 
 
 def _split_pred(pred: jnp.ndarray, num_anchors: int, num_classes: int):

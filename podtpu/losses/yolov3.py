@@ -27,13 +27,13 @@ from podtpu.losses.common import (
     sigmoid,
     smooth_bce,
 )
+from podtpu.ops.assign import encode_anchor_targets
+
 # exp() of unbounded wh logits overflows once training diverges and
 # poisons the CIoU with NaNs (the reference shares this fragility);
 # +-15 is far outside the trained regime (|wh logit| < ~3) and keeps
 # the pathological case finite so the loss can pull weights back.
 _WH_CLAMP = 15.0
-
-from podtpu.ops.assign import encode_anchor_targets
 
 
 def _layer_targets(target, num_classes, anchors, input_size, layer_idx, layer_w,

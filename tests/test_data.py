@@ -179,3 +179,19 @@ def test_mosaic_pipeline_option(synth):
     # deterministic per seed
     img2, boxes2 = ds.get(0, seed=11)
     np.testing.assert_array_equal(img, img2)
+
+
+def test_cache_images_equivalence(synth):
+    a = YoloTxtDataset(synth["train_list"], 160, augment=True,
+                       pipeline="letterbox", cache_images=False)
+    b = YoloTxtDataset(synth["train_list"], 160, augment=True,
+                       pipeline="letterbox", cache_images=True)
+    for idx in (0, 3):
+        ia, ba = a.get(idx, seed=9)
+        ib, bb = b.get(idx, seed=9)
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(ba, bb)
+        # second access hits the cache and must still be identical
+        ic, bc = b.get(idx, seed=9)
+        np.testing.assert_array_equal(ia, ic)
+        np.testing.assert_array_equal(ba, bc)
