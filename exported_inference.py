@@ -7,9 +7,9 @@ load, run over images (or random inputs), print average FPS.
 from __future__ import annotations
 
 import argparse
+import time
 
 from podtpu.config import setup_platform
-import time
 
 import jax
 import numpy as np

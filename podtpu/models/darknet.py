@@ -49,16 +49,26 @@ class _Stage(nn.Module):
 
 
 class Darknet19(nn.Module):
-    """Feature extractor; returns a list of stage outputs at ``out_indices``."""
+    """Feature extractor; returns a list of stage outputs at ``out_indices``.
+
+    ``remat=True`` rematerializes each stage in the backward pass
+    (jax.checkpoint): the step is HBM-bandwidth-bound, so recomputing the
+    early high-resolution activations instead of round-tripping them can be
+    a net win — measure per workload.
+    """
 
     out_indices: Sequence[int] = (5,)
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # static_argnums: `train` is a python bool, not a tracer
+        stage_cls = (nn.remat(_Stage, static_argnums=(2,))
+                     if self.remat else _Stage)
         feats = []
         for i, cfg in enumerate(STAGE_CFGS):
-            x = _Stage(cfg, dtype=self.dtype, name=f"stage{i}")(x, train)
+            x = stage_cls(cfg, dtype=self.dtype, name=f"stage{i}")(x, train)
             if i in self.out_indices:
                 feats.append(x)
         return feats

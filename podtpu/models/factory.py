@@ -34,7 +34,8 @@ def build_model(cfg: dict):
         )
     if name == "yolov3":
         return YoloV3(
-            num_classes=num_classes, num_anchors=len(cfg["anchors"]), dtype=dtype
+            num_classes=num_classes, num_anchors=len(cfg["anchors"]),
+            dtype=dtype, remat=bool(cfg.get("remat_backbone", False)),
         )
     if name == "yolov4-tiny":
         return YoloV4Tiny(

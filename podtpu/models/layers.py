@@ -20,7 +20,59 @@ from __future__ import annotations
 from typing import Callable
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+class BatchNormMixed(nn.Module):
+    """BatchNorm with f32 statistics but compute-dtype activations.
+
+    A stock BatchNorm run in f32 materializes f32 activation tensors between
+    every conv pair (the batch-stat reductions break XLA's conv-epilogue
+    fusion), doubling HBM traffic on a bandwidth-bound convnet. Here the
+    mean/var reductions cast to f32 on the fly (the reduction reads the same
+    bf16 bytes; only the [C]-sized stats are f32), and the normalization is
+    a bf16 multiply-add — so the tensor that hits HBM stays bf16.
+
+    Parameter/stat names match flax ``nn.BatchNorm`` (scale/bias params,
+    mean/var batch_stats), so checkpoints are interchangeable. Defaults are
+    the torch values the reference trained with (eps 1e-5, torch momentum
+    0.1 == running-stat decay 0.9).
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((features,), jnp.float32))
+
+        if train:
+            x32 = x.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=(0, 1, 2))
+            var = jnp.mean(jnp.square(x32), axis=(0, 1, 2)) - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        # y = (x - mean) * inv + bias, folded into one bf16 multiply-add
+        mul = inv.astype(self.dtype)
+        add = (bias - mean * inv).astype(self.dtype)
+        return x.astype(self.dtype) * mul + add
 
 
 class ConvBnAct(nn.Module):
@@ -45,14 +97,7 @@ class ConvBnAct(nn.Module):
             param_dtype=jnp.float32,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-            name="bn",
-        )(x.astype(jnp.float32))
+        x = BatchNormMixed(dtype=self.dtype, name="bn")(x, train)
         if self.act is not None:
             x = self.act(x)
         return x.astype(self.dtype)

@@ -45,6 +45,7 @@ class YoloV3(nn.Module):
     num_classes: int
     num_anchors: int = 9  # global; 3 per scale
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -53,7 +54,8 @@ class YoloV3(nn.Module):
         out_ch = per_scale * (self.num_classes + 5)
 
         c3, c4, c5 = Darknet19(
-            out_indices=(3, 4, 5), dtype=self.dtype, name="backbone"
+            out_indices=(3, 4, 5), dtype=self.dtype, remat=self.remat,
+            name="backbone",
         )(x, train)
 
         c5 = _ConvTriple(512, dtype=self.dtype, name="c5_conv")(c5, train)

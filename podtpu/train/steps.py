@@ -125,8 +125,9 @@ def make_eval_step(cfg: dict, mesh=None):
     )
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.jit
 def global_norm(tree) -> jnp.ndarray:
+    """L2 norm over a pytree (debugging/monitoring helper)."""
     return jnp.sqrt(
         sum(jnp.sum(jnp.square(x)) for x in jax.tree_util.tree_leaves(tree))
     )

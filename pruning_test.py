@@ -13,9 +13,9 @@ a slimming pass could consume.
 from __future__ import annotations
 
 import argparse
+import time
 
 from podtpu.config import setup_platform
-import time
 
 import jax
 import jax.numpy as jnp

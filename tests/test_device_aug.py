@@ -1,0 +1,53 @@
+"""On-device augmentation tests: HSV round trip, flip semantics, determinism."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from podtpu.data.device_aug import device_augment, hsv_to_rgb, rgb_to_hsv
+
+
+def test_hsv_roundtrip():
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.uniform(0, 1, (4, 8, 8, 3)).astype(np.float32))
+    back = hsv_to_rgb(rgb_to_hsv(rgb))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(rgb), atol=1e-5)
+
+
+def test_flip_moves_boxes():
+    imgs = jnp.zeros((2, 8, 8, 3))
+    imgs = imgs.at[:, :, 0, 0].set(1.0)  # bright left column
+    annots = -np.ones((2, 3, 5), np.float32)
+    annots[:, 0] = [0.25, 0.5, 0.2, 0.2, 1]
+    out_i, out_a = device_augment(
+        jax.random.PRNGKey(0), imgs, jnp.asarray(annots),
+        hgain=0.0, sgain=0.0, vgain=0.0, flip_p=1.0,
+    )
+    # flipped: bright column moves to the right edge; cx mirrors
+    assert float(out_i[0, 0, -1, 0]) > 0.5
+    assert float(out_a[0, 0, 0]) == pytest.approx(0.75, abs=1e-6)
+    # padding rows untouched
+    np.testing.assert_array_equal(np.asarray(out_a[0, 1]), annots[0, 1])
+
+
+def test_no_op_when_gains_zero():
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.uniform(0, 1, (2, 8, 8, 3)).astype(np.float32))
+    annots = jnp.asarray(-np.ones((2, 2, 5), np.float32))
+    out_i, out_a = device_augment(
+        jax.random.PRNGKey(0), imgs, annots,
+        hgain=0.0, sgain=0.0, vgain=0.0, flip_p=0.0,
+    )
+    np.testing.assert_allclose(np.asarray(out_i), np.asarray(imgs), atol=1e-5)
+
+
+def test_deterministic_per_key():
+    rng = np.random.default_rng(2)
+    imgs = jnp.asarray(rng.uniform(0, 1, (2, 8, 8, 3)).astype(np.float32))
+    annots = jnp.asarray(-np.ones((2, 2, 5), np.float32))
+    a = device_augment(jax.random.PRNGKey(7), imgs, annots)
+    b = device_augment(jax.random.PRNGKey(7), imgs, annots)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    c = device_augment(jax.random.PRNGKey(8), imgs, annots)
+    assert not np.array_equal(np.asarray(a[0]), np.asarray(c[0]))
