@@ -25,7 +25,7 @@ def inference(cfg: dict, ckpt: str | None, out_dir: str | None,
     _, val_ds = build_datasets(cfg)
     loader = Loader(val_ds, batch_size=1, shuffle=False,
                     max_annots=cfg["max_annots"], workers=1)
-    trainer = Trainer(cfg, use_mesh=False)
+    trainer = Trainer(cfg, use_mesh=False, eval_only=True)
     if ckpt:
         trainer.state = restore_weights(ckpt, trainer.state)
     names = load_names(cfg["names"]) if cfg.get("names") and \

@@ -30,7 +30,7 @@ def run(cfg: dict, ckpt: str | None, input_path: str, output_path: str):
         output_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w0, h0)
     )
 
-    trainer = Trainer(cfg, use_mesh=False)
+    trainer = Trainer(cfg, use_mesh=False, eval_only=True)
     if ckpt:
         trainer.state = restore_weights(ckpt, trainer.state)
     names = load_names(cfg["names"]) if cfg.get("names") and \

@@ -101,7 +101,8 @@ def restore_weights(path: str, state: TrainState) -> TrainState:
 
 class Trainer:
     def __init__(self, cfg: dict, run_dir: str | None = None,
-                 log: Callable[[str], None] = print, use_mesh: bool = True):
+                 log: Callable[[str], None] = print, use_mesh: bool = True,
+                 eval_only: bool = False):
         self.cfg = cfg
         self.log = log
         self.mesh = self._pick_mesh(cfg) if use_mesh else None
@@ -120,13 +121,16 @@ class Trainer:
         self.map_metric = MeanAveragePrecision(
             cfg["num_classes"], cfg["input_size"]
         )
-        self.run_dir = run_dir or make_run_dir(cfg)
-        self.ckpt = CheckpointIO(os.path.join(self.run_dir, "checkpoints"))
+        # eval-only consumers (test/inference/export CLIs) don't create
+        # run directories or checkpoint writers
+        self.run_dir = None if eval_only else (run_dir or make_run_dir(cfg))
+        self.ckpt = (None if eval_only else
+                     CheckpointIO(os.path.join(self.run_dir, "checkpoints")))
         self._writer = None
         self.history: list[dict] = []
         self.log(
-            f"model={cfg['model']} params={param_count(self.state.params):,} "
-            f"run_dir={self.run_dir}"
+            f"model={cfg['model']} params={param_count(self.state.params):,}"
+            + (f" run_dir={self.run_dir}" if self.run_dir else "")
         )
 
     @staticmethod

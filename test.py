@@ -22,7 +22,7 @@ def evaluate(cfg: dict, ckpt: str | None) -> dict:
         max_annots=cfg["max_annots"],
         workers=cfg["workers"],
     )
-    trainer = Trainer(cfg)
+    trainer = Trainer(cfg, eval_only=True)
     if ckpt:
         trainer.state = restore_weights(ckpt, trainer.state)
     result = trainer.validate(val_loader)

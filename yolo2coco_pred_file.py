@@ -28,7 +28,7 @@ def run(cfg: dict, ckpt: str | None, ann_json: str, out_json: str):
     images = coco["images"]
     img_dir = os.path.dirname(ann_json)
 
-    trainer = Trainer(cfg, use_mesh=False)
+    trainer = Trainer(cfg, use_mesh=False, eval_only=True)
     if ckpt:
         trainer.state = restore_weights(ckpt, trainer.state)
     size = cfg["input_size"]
