@@ -16,8 +16,6 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from podtpu.models.resnet import resnet50
-
 PRIOR_PI = 0.01
 NUM_LEVELS = 5
 ANCHORS_PER_CELL = 9

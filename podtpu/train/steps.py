@@ -14,7 +14,6 @@ in a Python loop, per-image NMS syncs — SURVEY.md §3.1/§3.2). Here:
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
