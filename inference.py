@@ -45,7 +45,9 @@ def inference(cfg: dict, ckpt: str | None, out_dir: str | None,
         dt = (time.perf_counter() - t0) * 1000
         print(f"[{idx}] inference: {dt:.2f} ms, {len(dets)} boxes")
 
-        img = (batch["img"][0] * 255).astype(np.uint8)
+        raw = batch["img"][0]
+        img = (raw if raw.dtype == np.uint8 else
+               (raw * 255).astype(np.uint8))
         img = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
         img = draw_boxes(img, annots_to_boxes(batch["annot"][0], size),
                          names, color=(0, 0, 255))

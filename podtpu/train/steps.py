@@ -25,6 +25,14 @@ from podtpu.ops.nms import batched_class_aware_nms
 from podtpu.parallel.mesh import batch_sharding, replicated_sharding
 
 
+def _as_input(img: jnp.ndarray) -> jnp.ndarray:
+    """Accept uint8 batches (host ships raw bytes; 4x less H2D) or
+    pre-normalized floats."""
+    if img.dtype == jnp.uint8:
+        return img.astype(jnp.float32) / 255.0
+    return img
+
+
 def make_decoder(cfg: dict) -> Callable:
     """Config -> fn(raw head output(s)) -> [B, N, 6] candidates."""
     name = cfg["model"]
@@ -56,7 +64,7 @@ def make_train_step(cfg: dict, mesh=None, donate: bool = True):
         def objective(params):
             preds, updates = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["img"],
+                _as_input(batch["img"]),
                 train=True,
                 mutable=["batch_stats"],
                 rngs={"dropout": step_rng},
@@ -102,7 +110,7 @@ def make_eval_step(cfg: dict, mesh=None):
     def eval_step(state, batch):
         preds = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
-            batch["img"],
+            _as_input(batch["img"]),
             train=False,
         )
         loss = loss_fn(preds, batch["annot"])

@@ -195,3 +195,38 @@ def test_cache_images_equivalence(synth):
         ic, bc = b.get(idx, seed=9)
         np.testing.assert_array_equal(ia, ic)
         np.testing.assert_array_equal(ba, bc)
+
+
+def test_uint8_output_matches_float(synth):
+    f = YoloTxtDataset(synth["train_list"], 160, augment=True,
+                       pipeline="letterbox", output_uint8=False)
+    u = YoloTxtDataset(synth["train_list"], 160, augment=True,
+                       pipeline="letterbox", output_uint8=True)
+    fi, fb = f.get(1, seed=4)
+    ui, ub = u.get(1, seed=4)
+    assert ui.dtype == np.uint8 and fi.dtype == np.float32
+    np.testing.assert_allclose(ui.astype(np.float32) / 255.0, fi, atol=1e-6)
+    np.testing.assert_array_equal(fb, ub)
+
+
+def test_train_step_accepts_uint8():
+    import jax
+    import jax.numpy as jnp
+
+    from tests.test_train import TINY_CFG, tiny_batch
+    from podtpu.train.state import create_train_state
+    from podtpu.train.steps import make_train_step
+
+    state = create_train_state(TINY_CFG, jax.random.PRNGKey(0))
+    step = make_train_step(TINY_CFG, mesh=None, donate=False)
+    batch = tiny_batch()
+    float_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    u8_batch = {
+        "img": jnp.asarray((batch["img"] * 255).astype(np.uint8)),
+        "annot": jnp.asarray(batch["annot"]),
+    }
+    rng = jax.random.PRNGKey(0)
+    _, m_f = step(state, float_batch, rng)
+    _, m_u = step(state, u8_batch, rng)
+    # uint8 path quantizes to 1/255 steps; losses must be close
+    assert abs(float(m_f["loss"]) - float(m_u["loss"])) / float(m_f["loss"]) < 0.05
