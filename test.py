@@ -13,7 +13,7 @@ from podtpu.data import Loader, build_datasets
 from podtpu.train.trainer import Trainer, restore_weights
 
 
-def evaluate(cfg: dict, ckpt: str | None) -> dict:
+def evaluate(cfg: dict, ckpt: str | None, report_dir: str | None = None) -> dict:
     _, val_ds = build_datasets(cfg)
     val_loader = Loader(
         val_ds,
@@ -28,6 +28,19 @@ def evaluate(cfg: dict, ckpt: str | None) -> dict:
     result = trainer.validate(val_loader)
     print(f"val_loss: {result['val_loss']:.5f}")
     print(f"val_mAP: {result['val_mAP']:.5f}")
+    if report_dir:
+        from podtpu.metrics.plots import write_eval_report
+        from podtpu.utils.viz import load_names
+        import os
+
+        names = (load_names(cfg["names"])
+                 if cfg.get("names") and os.path.exists(cfg["names"])
+                 else [str(i) for i in range(cfg["num_classes"])])
+        paths = write_eval_report(trainer.map_metric, names, report_dir,
+                                  cfg.get("conf_threshold", 0.25))
+        print(f"report: {paths}")
+        with open(paths["table"]) as f:
+            print(f.read())
     return result
 
 
@@ -35,11 +48,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cfg", required=True, type=str)
     ap.add_argument("--ckpt", type=str, default=None)
+    ap.add_argument("--report", type=str, default=None,
+                    help="write per-class AP table + PR curves + confusion "
+                         "matrix to this directory")
     ap.add_argument("--platform", type=str, default=None,
                     help="pin JAX backend (e.g. cpu) for local runs")
     args = ap.parse_args()
     setup_platform(args.platform)
-    evaluate(get_configs(args.cfg), args.ckpt)
+    evaluate(get_configs(args.cfg), args.ckpt, args.report)
 
 
 if __name__ == "__main__":
