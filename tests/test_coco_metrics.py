@@ -72,3 +72,29 @@ def test_confusion_matrix():
     assert cm.matrix[0, 1] == 1
     assert cm.matrix[1, 2] == 1  # FP vs bg
     assert cm.matrix.sum() == 3
+
+
+def test_eval_report_writes_artifacts(tmp_path):
+    from podtpu.metrics import MeanAveragePrecision
+    from podtpu.metrics.plots import write_eval_report
+
+    metric = MeanAveragePrecision(num_classes=2, input_size=100)
+    annots = -np.ones((2, 4, 5), np.float32)
+    annots[0, 0] = [0.5, 0.5, 0.2, 0.2, 0]
+    annots[1, 0] = [0.3, 0.3, 0.2, 0.2, 1]
+    dets = np.zeros((2, 3, 6), np.float32)
+    valid = np.zeros((2, 3), bool)
+    dets[0, 0] = [50, 50, 20, 20, 0.9, 0]
+    valid[0, 0] = True
+    dets[1, 0] = [30, 30, 20, 20, 0.8, 1]
+    valid[1, 0] = True
+    metric.update_state(annots, dets, valid)
+
+    out = write_eval_report(metric, ["a", "b"], str(tmp_path))
+    import os
+
+    assert os.path.exists(out["table"])
+    assert os.path.exists(out["pr_curves"])
+    assert os.path.exists(out["confusion_matrix"])
+    text = open(out["table"]).read()
+    assert "mAP" in text and "a" in text

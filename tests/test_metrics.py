@@ -90,3 +90,29 @@ def test_stateful_accumulator():
     assert metric.result() == pytest.approx(1.0, abs=1e-4)
     metric.reset_states()
     assert metric.img_idx == 0
+
+
+def _rows(n, n_img, num_classes, seed, conf=True):
+    r = np.random.default_rng(seed)
+    out = np.zeros((n, 7), np.float32)
+    out[:, 0] = r.integers(0, n_img, n)
+    out[:, 1:3] = r.uniform(30, 370, (n, 2))
+    out[:, 3:5] = r.uniform(15, 90, (n, 2))
+    out[:, 5] = r.uniform(0.3, 1.0, n) if conf else 1.0
+    out[:, 6] = r.integers(0, num_classes, n)
+    return out
+
+
+def test_map_reference_golden():
+    """mAP parity vs a golden value from the reference's
+    mean_average_precision (utils/yolo_utils.py:351-456, torch cpu) on the
+    exact same random detection set (regenerated from seeded streams)."""
+    true = _rows(120, 15, 5, 900, conf=False)
+    pred = _rows(200, 15, 5, 901)
+    jit = true[:60].copy()
+    r = np.random.default_rng(902)
+    jit[:, 1:3] += r.normal(0, 6, (60, 2))
+    jit[:, 5] = r.uniform(0.4, 1, 60)
+    pred = np.concatenate([pred, jit])
+    got = mean_average_precision(true, pred, 5)
+    assert got == pytest.approx(0.12551620602607727, rel=1e-5)
