@@ -1,0 +1,45 @@
+"""Rank-aware logging (utils/general.py:46-53 role).
+
+On multi-host runs only process 0 emits INFO-level logs; other hosts log
+warnings and errors. ``colorstr`` gives the reference's ANSI highlighting
+(general.py:472-494 role) for terminals that support it.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+
+_ANSI = {
+    "black": "\033[30m", "red": "\033[31m", "green": "\033[32m",
+    "yellow": "\033[33m", "blue": "\033[34m", "magenta": "\033[35m",
+    "cyan": "\033[36m", "white": "\033[37m", "bold": "\033[1m",
+    "end": "\033[0m",
+}
+
+
+def colorstr(*args) -> str:
+    """colorstr('blue', 'bold', 'text') -> ANSI-wrapped text."""
+    *styles, text = args if len(args) > 1 else ("blue", "bold", args[0])
+    return "".join(_ANSI.get(s, "") for s in styles) + str(text) + _ANSI["end"]
+
+
+def get_logger(name: str = "podtpu") -> logging.Logger:
+    logger = logging.getLogger(name)
+    if logger.handlers:
+        return logger
+    try:
+        import jax
+
+        rank = jax.process_index()
+    except Exception:  # pragma: no cover
+        rank = 0
+    handler = logging.StreamHandler(sys.stdout)
+    handler.setFormatter(logging.Formatter("%(message)s"))
+    logger.addHandler(handler)
+    logger.setLevel(logging.INFO if rank == 0 else logging.WARNING)
+    logger.propagate = False
+    return logger
+
+
+LOGGER = get_logger()

@@ -107,3 +107,13 @@ def test_timeout_context():
 
     with Timeout(0.05, suppress=True):
         time.sleep(0.5)  # suppressed
+
+
+def test_logger_and_colorstr():
+    from podtpu.utils.log import colorstr, get_logger
+
+    s = colorstr("hello")
+    assert "hello" in s and s.endswith("\033[0m")
+    logger = get_logger("podtpu-test")
+    logger.info("info line")  # should not raise
+    assert logger.level in (20, 30)
