@@ -79,22 +79,35 @@ def cosine_annealing_warm_up_restarts(
     eta_max: float = 0.1,
     T_up: int = 0,
     gamma: float = 1.0,
+    max_cycles: int = 40,
 ) -> Schedule:
-    """Warmup-to-eta_max cosine restarts (lr_scheduler.py:10-63 semantics)."""
+    """Warmup-to-eta_max cosine restarts (lr_scheduler.py:10-63 semantics).
+
+    Matches the reference's ITERATIVE ``step()`` recurrence — the one
+    Lightning actually drives — where each new cycle has length
+    ``T_i' = (T_i - T_up) * T_mult + T_up`` (lr_scheduler.py:42-45), NOT the
+    ``T_0 * T_mult**n`` closed form its epoch-jump branch uses; value-locked
+    against the torch class in tests. Cycle starts are precomputed (static
+    hyperparameters), so the schedule stays branchless jnp.
+    """
+    lengths = []
+    t_i = float(T_0)
+    for _ in range(max_cycles):
+        lengths.append(t_i)
+        t_i = (t_i - T_up) * T_mult + T_up
+    starts = [0.0]
+    for ln in lengths[:-1]:
+        starts.append(starts[-1] + ln)
+    starts_arr = jnp.asarray(starts, jnp.float32)      # [max_cycles]
+    lengths_arr = jnp.asarray(lengths, jnp.float32)    # [max_cycles]
 
     def schedule(step):
         step = jnp.asarray(step, dtype=jnp.float32)
-        if T_mult == 1:
-            cycle = jnp.floor(step / T_0)
-            t_cur = jnp.mod(step, T_0)
-            t_i = jnp.asarray(T_0, jnp.float32)
-        else:
-            cycle = jnp.floor(
-                jnp.log(step / T_0 * (T_mult - 1) + 1.0) / math.log(T_mult)
-            )
-            t_cur = step - T_0 * (T_mult**cycle - 1.0) / (T_mult - 1)
-            t_i = T_0 * T_mult**cycle
-        eta = eta_max * gamma**cycle
+        cycle = jnp.sum(step >= starts_arr) - 1
+        cycle = jnp.clip(cycle, 0, max_cycles - 1)
+        t_cur = step - starts_arr[cycle]
+        t_i = lengths_arr[cycle]
+        eta = eta_max * gamma**cycle.astype(jnp.float32)
         warm = (eta - base_lr) * t_cur / jnp.maximum(T_up, 1) + base_lr
         cos = base_lr + (eta - base_lr) * (
             1 + jnp.cos(jnp.pi * (t_cur - T_up) / (t_i - T_up))

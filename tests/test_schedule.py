@@ -66,3 +66,31 @@ def test_build_schedule_from_cfg():
 def test_unknown_scheduler_raises():
     with pytest.raises(ValueError):
         build_schedule({"optimizer_options": {"lr": 1.0}, "scheduler": "bogus"})
+
+
+def test_cosine_warmup_reference_goldens():
+    """Values from the reference CosineAnnealingWarmUpRestarts run under
+    torch (module/lr_scheduler.py:10-63); step k == scheduler state after
+    construction + k steps."""
+    from podtpu.train.schedule import cosine_annealing_warm_up_restarts
+
+    s = cosine_annealing_warm_up_restarts(
+        1e-5, T_0=100, T_mult=2, eta_max=1e-3, T_up=20, gamma=0.5
+    )
+    goldens = {
+        0: 1e-05, 10: 0.000505, 20: 0.001, 60: 0.000505,
+        99: 1.0381627060842164e-05, 100: 1e-05, 120: 0.0005,
+        250: 5.128994498587647e-05, 350: 0.0002358305517218026,
+    }
+    for step, want in goldens.items():
+        assert float(s(step)) == pytest.approx(want, rel=1e-4), step
+
+
+def test_yolo_lr_reference_goldens():
+    from podtpu.train.schedule import yolo_lr
+
+    s = yolo_lr(1e-3, burn_in=100, steps=[300, 400], scales=[0.1, 0.5])
+    goldens = {0: 0.0, 50: 6.25e-05, 100: 0.001, 299: 0.001, 300: 0.0001,
+               399: 0.0001, 400: 5e-05, 450: 5e-05}
+    for step, want in goldens.items():
+        assert float(s(step)) == pytest.approx(want, rel=1e-5, abs=1e-12), step
