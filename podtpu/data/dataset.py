@@ -45,7 +45,8 @@ def label_path_for(img_path: str) -> str:
 class YoloTxtDataset:
     def __init__(self, list_file: str, input_size: int, augment: bool,
                  pipeline: str = "letterbox", mosaic: float = 0.0,
-                 cache_images: bool = False, output_uint8: bool = False):
+                 cache_images: bool = False, output_uint8: bool = False,
+                 photometric: bool = True):
         with open(list_file, "r") as f:
             self.imgs = [l for l in f.read().splitlines() if l.strip()]
         self.input_size = input_size
@@ -64,6 +65,9 @@ class YoloTxtDataset:
         # and ~20% less host CPU per sample (the float conversion is one of
         # the most expensive host stages)
         self.output_uint8 = output_uint8
+        # False when cfg device_augment=true: HSV/flip/jitter then run
+        # fused on the TPU (data/device_aug.py); host keeps geometry only
+        self.photometric = photometric
 
     def _load_resized_cached(self, index: int):
         if self._cache is not None and index in self._cache:
@@ -170,7 +174,7 @@ class YoloTxtDataset:
             out[:, 3] = (y2 - y1) / hh
             out[:, 4] = boxes[:, 0]
 
-        if self.augment:
+        if self.augment and self.photometric:
             im = A.augment_hsv(im, rng)
             if rng.random() < 0.5:
                 im, out = self._flip_bgr(im, out)
@@ -210,12 +214,13 @@ class YoloTxtDataset:
             boxes[:, 4] = labels[:, 0]
 
         if self.augment:
-            if rng.random() < 0.5:
-                im, boxes = A.hflip(im, boxes)
-            if rng.random() < 0.5:
-                im = A.clahe(im)
-            if rng.random() < 0.5:
-                im = A.color_jitter(im, rng)
+            if self.photometric:
+                if rng.random() < 0.5:
+                    im, boxes = A.hflip(im, boxes)
+                if rng.random() < 0.5:
+                    im = A.clahe(im)
+                if rng.random() < 0.5:
+                    im = A.color_jitter(im, rng)
             im, boxes = A.random_resized_crop(im, boxes, rng, size)
         else:
             im = cv2.resize(im, (size, size), interpolation=cv2.INTER_LINEAR)
@@ -239,9 +244,11 @@ def build_datasets(cfg: dict):
     )
     cache = bool(cfg.get("cache_images", False))
     u8 = bool(cfg.get("uint8_batches", True))
+    photometric = not bool(cfg.get("device_augment", False))
     train = YoloTxtDataset(cfg["train_list"], cfg["input_size"], True,
                            pipeline, mosaic=float(cfg.get("mosaic", 0.0)),
-                           cache_images=cache, output_uint8=u8)
+                           cache_images=cache, output_uint8=u8,
+                           photometric=photometric)
     val = YoloTxtDataset(cfg["val_list"], cfg["input_size"], False, pipeline,
                          cache_images=cache, output_uint8=u8)
     return train, val

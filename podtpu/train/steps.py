@@ -57,9 +57,17 @@ def make_decoder(cfg: dict) -> Callable:
 def make_train_step(cfg: dict, mesh=None, donate: bool = True):
     """Build the jitted ``(state, batch, rng) -> (state, metrics)`` step."""
     loss_fn = build_loss(cfg)
+    from podtpu.data.device_aug import make_device_augment
+
+    device_aug = make_device_augment(cfg)
 
     def train_step(state, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
+        if device_aug is not None:
+            img = _as_input(batch["img"])
+            img, annot = device_aug(jax.random.fold_in(step_rng, 1), img,
+                                    batch["annot"])
+            batch = {"img": img, "annot": annot}
 
         def objective(params):
             preds, updates = state.apply_fn(

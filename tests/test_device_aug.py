@@ -51,3 +51,29 @@ def test_deterministic_per_key():
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     c = device_augment(jax.random.PRNGKey(8), imgs, annots)
     assert not np.array_equal(np.asarray(a[0]), np.asarray(c[0]))
+
+
+def test_device_augment_wired_into_train_step():
+    import numpy as np
+
+    from tests.test_train import TINY_CFG, tiny_batch
+    from podtpu.train.state import create_train_state
+    from podtpu.train.steps import make_train_step
+
+    cfg = dict(TINY_CFG, device_augment=True)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, mesh=None, donate=False)
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch().items()}
+    s2, m = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    # photometric host stages disabled when device_augment is on
+    from podtpu.data.dataset import build_datasets
+    from podtpu.data.synthetic import generate
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        info = generate(d, n_train=2, n_val=1, size=64, num_classes=2)
+        c = dict(cfg, train_list=info["train_list"],
+                 val_list=info["val_list"], input_size=64)
+        train_ds, _ = build_datasets(c)
+        assert train_ds.photometric is False
