@@ -90,3 +90,56 @@ def test_fit_validate_checkpoint_resume(setup):
     result = trainer3.validate(val_loader)
     assert np.isfinite(result["val_loss"])
     assert 0.0 <= result["val_mAP"] <= 1.0
+
+
+def test_early_stopping(setup):
+    """Patience counts stale validation rounds (reference: patience=30 on
+    val_loss; here patience=1 with val every epoch must stop early)."""
+    cfg = dict(setup)
+    cfg["early_stopping_patience"] = 1
+    cfg["trainer_options"] = {"check_val_every_n_epoch": 1}
+    cfg["optimizer_options"] = dict(cfg["optimizer_options"], lr=0.0)  # frozen
+    train_loader, val_loader = _loaders(cfg)
+    trainer = Trainer(cfg, log=lambda *_: None)
+    history = trainer.fit(train_loader, val_loader, epochs=10)
+    # with lr=0 the val loss never improves after round 1 -> stop at epoch 2
+    assert len(history) <= 3
+
+
+def test_train_cli_subprocess(tmp_path):
+    """Drive the real `python train.py --cfg ... --platform cpu` surface."""
+    import subprocess
+    import sys
+
+    import yaml
+
+    from podtpu.data.synthetic import generate
+
+    info = generate(str(tmp_path / "data"), n_train=8, n_val=4, size=96,
+                    num_classes=2, max_objects=2, seed=5)
+    cfg = {
+        "model": "yolov4-tiny", "dataset_name": "clismoke", "num_classes": 2,
+        "input_size": 96, "in_channels": 3, "compute_dtype": "float32",
+        "anchors": [[8, 8], [12, 16], [16, 12], [20, 24], [28, 22],
+                    [32, 36], [44, 40], [56, 60], [72, 68]],
+        "epochs": 1, "batch_size": 4, "workers": 2, "max_annots": 4,
+        "save_dir": str(tmp_path / "runs"), "save_freq": 1,
+        "trainer_options": {"check_val_every_n_epoch": 1},
+        "optimizer": "sgd", "optimizer_options": {"lr": 1e-3},
+        "scheduler": "yolo_lr",
+        "scheduler_options": {"burn_in": 2, "steps": [100], "scales": [0.1]},
+        "top_k_candidates": 64, "max_detections": 10,
+        "train_list": info["train_list"], "val_list": info["val_list"],
+        "names": info["names"],
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "train.py"), "--cfg",
+         str(cfg_path), "--platform", "cpu"],
+        capture_output=True, text=True, timeout=600, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "epoch 0" in proc.stdout
+    assert "val_mAP" in proc.stdout
