@@ -174,6 +174,14 @@ class Trainer:
         patience = int(cfg.get("early_stopping_patience", 30))
         save_freq = int(cfg.get("save_freq", 5))
 
+        # SWA (the reference's commented experimental callback,
+        # configs/yolov3_voc.yaml:73-75): average params over epochs from
+        # ``swa: {start_epoch: N}``; averaged weights saved as ckpt "swa".
+        swa_cfg = cfg.get("swa") or {}
+        swa_start = int(swa_cfg.get("start_epoch", -1)) if swa_cfg else -1
+        swa_params = None
+        swa_count = 0
+
         best_val = float("inf")
         bad_rounds = 0
         t_start = time.time()
@@ -215,6 +223,21 @@ class Trainer:
                 else:
                     bad_rounds += 1
 
+            if swa_start >= 0 and epoch >= swa_start:
+                swa_count += 1
+                if swa_params is None:
+                    # copy: the donated train step would invalidate aliased
+                    # buffers on the next epoch
+                    swa_params = jax.tree_util.tree_map(
+                        jnp.copy, self.state.params
+                    )
+                else:
+                    w = 1.0 / swa_count
+                    swa_params = jax.tree_util.tree_map(
+                        lambda avg, p: avg + (p - avg) * w,
+                        swa_params, self.state.params,
+                    )
+
             self.ckpt.save("last", self.state)
             if (epoch + 1) % save_freq == 0:
                 self.ckpt.save(f"epoch_{epoch:04d}", self.state)
@@ -228,6 +251,11 @@ class Trainer:
             if bad_rounds >= patience:
                 self.log(f"early stopping after {bad_rounds} stale rounds")
                 break
+        if swa_params is not None:
+            # BN stats should ideally be recalibrated on a stats pass; the
+            # running averages are kept as a practical approximation.
+            self.ckpt.save("swa", self.state.replace(params=swa_params))
+            self.log(f"saved SWA weights (averaged over {swa_count} epochs)")
         self.writer.flush()
         self.log(f"fit done in {time.time() - t_start:.1f}s")
         return self.history

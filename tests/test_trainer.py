@@ -143,3 +143,19 @@ def test_train_cli_subprocess(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "epoch 0" in proc.stdout
     assert "val_mAP" in proc.stdout
+
+
+def test_swa_checkpoint(setup):
+    cfg = dict(setup)
+    cfg["swa"] = {"start_epoch": 0}
+    train_loader, val_loader = _loaders(cfg)
+    trainer = Trainer(cfg, log=lambda *_: None)
+    trainer.fit(train_loader, val_loader, epochs=2)
+    assert os.path.isdir(os.path.join(trainer.run_dir, "checkpoints", "swa"))
+    # averaged weights load back for eval
+    trainer2 = Trainer(cfg, log=lambda *_: None, eval_only=True)
+    trainer2.state = restore_weights(
+        os.path.join(trainer.run_dir, "checkpoints", "swa"), trainer2.state
+    )
+    result = trainer2.validate(val_loader)
+    assert np.isfinite(result["val_loss"])
