@@ -182,8 +182,8 @@ class YoloTxtDataset:
         im = self._finalize(im[:, :, ::-1])  # BGR->RGB
         return im, out
 
-    def _finalize(self, im, bgr_to_rgb: bool = True):
-        # `im` arrives channel-sliced (BGR view) on the letterbox path
+    def _finalize(self, im):
+        """uint8 bytes for the device-normalize path, or float32 in [0,1]."""
         if self.output_uint8:
             return np.ascontiguousarray(im, dtype=np.uint8)
         return np.ascontiguousarray(im, dtype=np.float32) / 255.0
@@ -225,7 +225,7 @@ class YoloTxtDataset:
         else:
             im = cv2.resize(im, (size, size), interpolation=cv2.INTER_LINEAR)
 
-        im = self._finalize(im, bgr_to_rgb=False)
+        im = self._finalize(im)
         return im, boxes
 
 
