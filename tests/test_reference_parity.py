@@ -1,0 +1,253 @@
+"""Live torch-interop parity against the actual /root/reference models.
+
+These tests instantiate the reference's *real* torch ``nn.Module``s (with
+``torchinfo``/``torchvision`` shimmed — see
+``podtpu.export.torch_port.install_reference_shims``), port their weights
+into podtpu via the bidirectional name map, and assert:
+
+* forward parity: same seeded input (NCHW vs NHWC) -> same head tensors,
+  for all four detectors (models/detector/{yolov1,yolov2,yolov3,yolov4_tiny}.py);
+* live loss parity: the reference's torch losses (models/loss/*.py) computed
+  in-process on the same inputs as tests/test_losses.py's goldens — turning
+  those hardcoded scalars into executing evidence;
+* round-trip: torch -> podtpu -> torch is exact, and a podtpu-initialized
+  model loads into the reference module with ``strict=True``.
+
+Together with the recipe/schedule/assignment parity elsewhere in the suite,
+this is the strongest proxy for the published VOC numbers (README.md:54-57)
+available without the dataset.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from podtpu.export.torch_port import (  # noqa: E402
+    import_reference,
+    podtpu_to_torch,
+    strip_lightning_prefix,
+    torch_to_podtpu,
+)
+from podtpu.models.yolov1 import YoloV1  # noqa: E402
+from podtpu.models.yolov2 import YoloV2  # noqa: E402
+from podtpu.models.yolov3 import YoloV3  # noqa: E402
+from podtpu.models.yolov4_tiny import YoloV4Tiny  # noqa: E402
+from tests.helpers import (  # noqa: E402
+    VOC_ANCHORS,
+    VOC_SCALED_ANCHORS,
+    make_targets,
+    nchw_to_nhwc,
+    normal,
+)
+
+C = 20
+
+
+def _randomize_bn_stats(model: "torch.nn.Module", seed: int):
+    """Give running stats non-trivial values so the stat mapping is exercised."""
+    g = torch.Generator().manual_seed(seed)
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.2)
+            m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) + 0.5)
+
+
+def _build_reference(name: str):
+    torch.manual_seed(7)
+    if name == "yolov1":
+        dk = import_reference("models.backbone.darknet")
+        det = import_reference("models.detector.yolov1")
+        bb = dk.darknet19(pretrained="", features_only=True)
+        return det.YoloV1(bb, num_classes=C, num_boxes=2)
+    if name == "yolov2":
+        dk = import_reference("models.backbone.darknet")
+        det = import_reference("models.detector.yolov2")
+        bb = dk.darknet19(pretrained="", features_only=True, out_indices=[4, 5])
+        return det.YoloV2(bb, num_classes=C, num_anchors=5)
+    if name == "yolov3":
+        dk = import_reference("models.backbone.darknet")
+        det = import_reference("models.detector.yolov3")
+        bb = dk.darknet19(pretrained="", features_only=True, out_indices=[3, 4, 5])
+        return det.YoloV3(bb, num_classes=C, num_anchors=9)
+    if name == "yolov4-tiny":
+        det = import_reference("models.detector.yolov4_tiny")
+        return det.YoloV4TinyV4(num_classes=C, num_anchors=9)
+    raise ValueError(name)
+
+
+_PODTPU = {
+    "yolov1": lambda: YoloV1(num_classes=C, num_boxes=2),
+    "yolov2": lambda: YoloV2(num_classes=C, num_anchors=5),
+    "yolov3": lambda: YoloV3(num_classes=C, num_anchors=9),
+    "yolov4-tiny": lambda: YoloV4Tiny(num_classes=C, num_anchors=9),
+}
+_INPUT_SIZE = {"yolov1": 448, "yolov2": 128, "yolov3": 128, "yolov4-tiny": 128}
+
+
+def _assert_close(t_out: "torch.Tensor", j_out, what: str, rtol: float = 2e-4):
+    a = t_out.detach().numpy()
+    b = np.asarray(j_out)
+    if a.ndim == 4:  # NCHW -> NHWC
+        a = a.transpose(0, 2, 3, 1)
+    assert a.shape == b.shape, f"{what}: shape {a.shape} vs {b.shape}"
+    scale = max(float(np.abs(a).max()), 1e-3)
+    err = float(np.abs(a - b).max()) / scale
+    assert err <= rtol, f"{what}: rel err {err:.2e} > {rtol}"
+
+
+@pytest.mark.parametrize("name", ["yolov1", "yolov2", "yolov3", "yolov4-tiny"])
+def test_forward_parity(name):
+    ref = _build_reference(name)
+    _randomize_bn_stats(ref, seed=11)
+    ref.eval()
+
+    variables = torch_to_podtpu(ref.state_dict(), name)
+    variables = {k: jnp.asarray(v) if not isinstance(v, dict) else v
+                 for k, v in variables.items()}
+
+    s = _INPUT_SIZE[name]
+    x = normal((2, 3, s, s), seed=500 + s)
+    with torch.no_grad():
+        t_out = ref(torch.from_numpy(x))
+
+    j_out = _PODTPU[name]().apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(nchw_to_nhwc(x)),
+        train=False,
+    )
+
+    if isinstance(t_out, tuple):
+        for i, (t, j) in enumerate(zip(t_out, j_out)):
+            _assert_close(t, j, f"{name} head {i}")
+    else:
+        out = j_out[0] if isinstance(j_out, (list,)) else j_out
+        _assert_close(t_out, out, f"{name} output")
+
+
+def test_torch_roundtrip_exact():
+    """torch -> podtpu -> torch must be bit-exact (transposes only)."""
+    ref = _build_reference("yolov4-tiny")
+    _randomize_bn_stats(ref, seed=3)
+    sd = {k: v for k, v in ref.state_dict().items()}
+    back = podtpu_to_torch(torch_to_podtpu(sd, "yolov4-tiny"), "yolov4-tiny")
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        assert np.array_equal(v.numpy(), back[k]), k
+
+
+def test_podtpu_weights_load_into_reference_strict():
+    """Reverse export covers every reference parameter (strict load)."""
+    import jax
+
+    model = _PODTPU["yolov2"]()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v).copy())
+          for k, v in podtpu_to_torch(variables, "yolov2").items()}
+    ref = _build_reference("yolov2")
+    ref.load_state_dict(sd, strict=True)
+
+    x = normal((1, 3, 128, 128), seed=42)
+    ref.eval()
+    with torch.no_grad():
+        t_out = ref(torch.from_numpy(x))
+    j_out = model.apply(variables, jnp.asarray(nchw_to_nhwc(x)), train=False)
+    _assert_close(t_out, j_out, "yolov2 reverse port")
+
+
+def test_lightning_ckpt_to_npz_strict_load(tmp_path):
+    """A Lightning .ckpt round-trips through the CLI helper into a full
+    (non-partial) podtpu train-state restore."""
+    import jax
+
+    from convert_checkpoint import torch_file_to_npz
+    from podtpu.config import get_configs
+    from podtpu.export.weights import load_npz_weights
+    from podtpu.train.state import create_train_state
+
+    ref = _build_reference("yolov2")
+    pt = tmp_path / "ref.ckpt"
+    torch.save(
+        {"state_dict": {"model." + k: v for k, v in ref.state_dict().items()}},
+        pt,
+    )
+    out = torch_file_to_npz(str(pt), "yolov2", str(tmp_path / "w.npz"))
+
+    cfg = get_configs("configs/yolov2_voc.yaml")
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    state = load_npz_weights(state, out)  # strict: every model leaf present
+    want = ref.state_dict()["yolov2_head.1.weight"].numpy().transpose(2, 3, 1, 0)
+    got = np.asarray(state.params["head"]["conv"]["kernel"])
+    assert np.array_equal(want, got)
+
+
+def test_strip_lightning_prefix():
+    sd = {"model.stem.0.conv.weight": 1, "other": 2}
+    out = strip_lightning_prefix(sd)
+    assert out == {"stem.0.conv.weight": 1, "other": 2}
+
+
+# ---------------------------------------------------------------------------
+# Live loss parity: the reference torch losses computed in-process on the
+# exact inputs of tests/test_losses.py (same seeded numpy streams).
+# ---------------------------------------------------------------------------
+
+B, T = 4, 8
+
+
+def _v2_inputs():
+    pred = normal((B, 5 * (5 + C), 13, 13), 100)
+    tgt = make_targets(B, T, C, 7)
+    return pred, tgt
+
+
+def _v3_inputs():
+    preds = [normal((B, 3 * (5 + C), hw, hw), 200 + hw) for hw in (52, 26, 13)]
+    tgt = make_targets(B, T, C, 11)
+    return preds, tgt
+
+
+def test_live_loss_parity_yolov1():
+    from podtpu.losses import yolov1_loss
+
+    mod = import_reference("models.loss.yolov1_loss")
+    pred = normal((B, 7 * 7 * (2 * 5 + C)), 300)
+    tgt = make_targets(B, T, C, 13)
+    with torch.no_grad():
+        want = float(mod.YoloV1Loss(C, 2)(torch.from_numpy(pred), torch.from_numpy(tgt)))
+    got = float(yolov1_loss(jnp.asarray(pred), jnp.asarray(tgt), C, 2))
+    assert got == pytest.approx(want, rel=1e-4)
+
+
+@pytest.mark.parametrize("variant", ["YoloV2Loss", "YoloV2LossV2"])
+def test_live_loss_parity_yolov2(variant):
+    from podtpu.losses import yolov2_loss, yolov2_loss_v2
+
+    mod = import_reference("models.loss.yolov2_loss")
+    pred, tgt = _v2_inputs()
+    with torch.no_grad():
+        want = float(getattr(mod, variant)(C, VOC_SCALED_ANCHORS)(
+            torch.from_numpy(pred), torch.from_numpy(tgt)))
+    fn = yolov2_loss if variant == "YoloV2Loss" else yolov2_loss_v2
+    got = float(fn(jnp.asarray(nchw_to_nhwc(pred)), jnp.asarray(tgt), C,
+                   VOC_SCALED_ANCHORS))
+    assert got == pytest.approx(want, rel=1e-4)
+
+
+@pytest.mark.parametrize("variant", ["YoloV3Loss", "YoloV3LossV2", "YoloV3LossV3"])
+def test_live_loss_parity_yolov3(variant):
+    from podtpu.losses import yolov3_loss, yolov3_loss_v2, yolov3_loss_v3
+
+    mod = import_reference("models.loss.yolov3_loss")
+    preds, tgt = _v3_inputs()
+    with torch.no_grad():
+        want = float(getattr(mod, variant)(C, VOC_ANCHORS, 416)(
+            [torch.from_numpy(p) for p in preds], torch.from_numpy(tgt)))
+    fn = {"YoloV3Loss": yolov3_loss, "YoloV3LossV2": yolov3_loss_v2,
+          "YoloV3LossV3": yolov3_loss_v3}[variant]
+    got = float(fn([jnp.asarray(nchw_to_nhwc(p)) for p in preds],
+                   jnp.asarray(tgt), C, VOC_ANCHORS, 416))
+    assert got == pytest.approx(want, rel=1e-4)
