@@ -97,19 +97,28 @@ def random_affine(
     translate: float = 0.1,
     scale: float = 0.5,
     shear: float = 0.0,
+    border: tuple[int, int] = (0, 0),
 ):
     """Random rotation/scale/shear/translation of image + pixel-xyxy boxes.
 
     boxes_xyxy: [N, 5] rows [cls, x1, y1, x2, y2].
+
+    ``border`` shrinks (negative) or grows the output canvas relative to the
+    input: output dims are ``im.shape + 2*border``. The mosaic path passes
+    ``border=(-s//2, -s//2)`` so the warp *crops* the 2S canvas down to S —
+    the reference's ``random_perspective(..., border=self.mosaic_border)``
+    semantics (augmentations.py:124-133, datasets.py:231-239) — instead of
+    resizing, which would produce a different scale distribution.
     """
-    height, width = im.shape[:2]
+    height = im.shape[0] + border[0] * 2
+    width = im.shape[1] + border[1] * 2
 
     # Build the combined 3x3 transform: translate(center) -> rot/scale ->
     # shear -> translate(random). Draw order matches a natural pipeline; the
     # distributions are the ones the active recipe uses.
     c = np.eye(3)
-    c[0, 2] = -width / 2
-    c[1, 2] = -height / 2
+    c[0, 2] = -im.shape[1] / 2
+    c[1, 2] = -im.shape[0] / 2
 
     r = np.eye(3)
     angle = rng.uniform(-degrees, degrees)
@@ -126,7 +135,7 @@ def random_affine(
     t[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * height
 
     m = t @ sh @ r @ c
-    if not np.allclose(m, np.eye(3)):
+    if border != (0, 0) or not np.allclose(m, np.eye(3)):
         im = cv2.warpAffine(im, m[:2], dsize=(width, height),
                             borderValue=(GRAY, GRAY, GRAY))
 

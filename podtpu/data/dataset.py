@@ -109,15 +109,13 @@ class YoloTxtDataset:
             imgs.append(im)
             boxes_px.append(b)
         canvas, boxes = A.mosaic4(imgs, boxes_px, size, rng)
-        # affine shrinks the 2S canvas back to S (border = -S/2 semantics
-        # handled by the scale distribution here)
-        canvas = _resize(canvas, size)
-        boxes = boxes.copy()
-        if len(boxes):
-            boxes[:, 1:] *= 0.5
+        # the affine CROPS the 2S canvas down to S via border=-S/2 — the
+        # reference's random_perspective(border=mosaic_border) semantics
+        # (datasets.py:231-239, augmentations.py:124-133)
         im, boxes = A.random_affine(canvas, boxes, rng,
                                     degrees=0.0, translate=0.1,
-                                    scale=0.5, shear=0.0)
+                                    scale=0.5, shear=0.0,
+                                    border=(-size // 2, -size // 2))
         out = np.zeros((len(boxes), 5), np.float32)
         if len(boxes):
             hh, ww = im.shape[:2]
@@ -227,12 +225,6 @@ class YoloTxtDataset:
 
         im = self._finalize(im)
         return im, boxes
-
-
-def _resize(im, size):
-    import cv2
-
-    return cv2.resize(im, (size, size), interpolation=cv2.INTER_LINEAR)
 
 
 def build_datasets(cfg: dict):

@@ -44,6 +44,169 @@ def test_random_affine_identity_boxes():
     np.testing.assert_allclose(boxes2, boxes, atol=1e-3)
 
 
+def test_random_affine_border_is_center_crop():
+    """With identity draws, border=-s/2 must CROP the 2S canvas to its center
+    S x S window (the reference's mosaic semantics), not resize it."""
+    rng = np.random.default_rng(0)
+    s = 80
+    canvas = np.random.default_rng(1).integers(0, 255, (2 * s, 2 * s, 3)).astype(np.uint8)
+    # box fully inside the center window [s/2, 3s/2) so no edge clipping
+    boxes = np.array([[0.0, 50, 60, 110, 115]], np.float32)
+    out, b = random_affine(canvas, boxes.copy(), rng, degrees=0.0,
+                           translate=0.0, scale=0.0, shear=0.0,
+                           border=(-s // 2, -s // 2))
+    assert out.shape == (s, s, 3)
+    np.testing.assert_array_equal(out, canvas[s // 2:3 * s // 2,
+                                              s // 2:3 * s // 2])
+    np.testing.assert_allclose(b[0, 1:], boxes[0, 1:] - s // 2, atol=1e-3)
+
+
+def _reference_perspective_oracle(im, targets, rng, degrees, translate,
+                                  scale, shear, border):
+    """Numpy oracle of the reference's random_perspective affine math
+    (augmentations.py:124-210, perspective=0), drawing from ``rng`` in the
+    same order as podtpu's random_affine."""
+    import math
+
+    import cv2
+
+    height = im.shape[0] + border[0] * 2
+    width = im.shape[1] + border[1] * 2
+    C = np.eye(3)
+    C[0, 2] = -im.shape[1] / 2
+    C[1, 2] = -im.shape[0] / 2
+    R = np.eye(3)
+    a = rng.uniform(-degrees, degrees)
+    s = rng.uniform(1 - scale, 1 + scale)
+    R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
+    S = np.eye(3)
+    S[0, 1] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    S[1, 0] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    T = np.eye(3)
+    T[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * width
+    T[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * height
+    M = T @ S @ R @ C
+    im2 = cv2.warpAffine(im, M[:2], dsize=(width, height),
+                         borderValue=(114, 114, 114))
+    n = len(targets)
+    if n:
+        xy = np.ones((n * 4, 3))
+        xy[:, :2] = targets[:, [1, 2, 3, 4, 1, 4, 3, 2]].reshape(n * 4, 2)
+        xy = (xy @ M.T)[:, :2].reshape(n, 8)
+        x = xy[:, [0, 2, 4, 6]]
+        y = xy[:, [1, 3, 5, 7]]
+        new = np.concatenate((x.min(1), y.min(1), x.max(1), y.max(1))).reshape(4, n).T
+        new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
+        new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
+        # box_candidates (augmentations.py:272-277)
+        eps = 1e-16
+        w1 = (targets[:, 3] - targets[:, 1]) * s
+        h1 = (targets[:, 4] - targets[:, 2]) * s
+        w2, h2 = new[:, 2] - new[:, 0], new[:, 3] - new[:, 1]
+        ar = np.maximum(w2 / (h2 + eps), h2 / (w2 + eps))
+        keep = ((w2 > 2) & (h2 > 2) & (w2 * h2 / (w1 * h1 + eps) > 0.10)
+                & (ar < 20))
+        targets = targets[keep]
+        targets[:, 1:5] = new[keep]
+    return im2, targets
+
+
+@pytest.mark.parametrize("seed", [3, 17, 99])
+def test_random_affine_matches_reference_math(seed):
+    """Bit-exact image + box parity vs the reference's affine math on the
+    mosaic crop path (same rng draws)."""
+    s = 64
+    canvas = np.random.default_rng(seed).integers(
+        0, 255, (2 * s, 2 * s, 3)).astype(np.uint8)
+    boxes = np.array(
+        [[0.0, 20, 30, 90, 100], [1.0, 60, 70, 130, 120],
+         [2.0, 0, 0, 3, 3]], np.float32)
+    kw = dict(degrees=0.0, translate=0.1, scale=0.5, shear=0.0,
+              border=(-s // 2, -s // 2))
+    got_im, got_b = random_affine(canvas, boxes.copy(),
+                                  np.random.default_rng(seed), **kw)
+    want_im, want_b = _reference_perspective_oracle(
+        canvas, boxes.copy(), np.random.default_rng(seed), **kw)
+    np.testing.assert_array_equal(got_im, want_im)
+    assert got_b.shape == want_b.shape
+    np.testing.assert_allclose(got_b, want_b, atol=1e-4)
+
+
+def test_mosaic_crop_distribution_matches_reference():
+    """Distribution check: podtpu's full mosaic sample (placement + crop
+    affine) vs an oracle of the reference's load_mosaic math
+    (datasets.py:185-239). Independent rng streams -> compare box survival
+    rate and scale statistics, not bits."""
+    s = 96
+    rng_imgs = np.random.default_rng(0)
+    imgs = [rng_imgs.integers(0, 255, (s, s, 3)).astype(np.uint8)
+            for _ in range(4)]
+    base_boxes = [
+        np.array([[0, 10, 10, 50, 50], [1, 40, 30, 90, 80]], np.float32),
+        np.array([[1, 20, 20, 70, 60]], np.float32),
+        np.array([[2, 5, 40, 60, 90]], np.float32),
+        np.array([[0, 30, 5, 80, 45]], np.float32),
+    ]
+    n_in = sum(len(b) for b in base_boxes)
+
+    from podtpu.data.augment import mosaic4
+
+    def podtpu_trial(seed):
+        rng = np.random.default_rng(seed)
+        canvas, boxes = mosaic4([i.copy() for i in imgs],
+                                [b.copy() for b in base_boxes], s, rng)
+        _, out = random_affine(canvas, boxes, rng, degrees=0.0,
+                               translate=0.1, scale=0.5, shear=0.0,
+                               border=(-s // 2, -s // 2))
+        return out
+
+    def oracle_trial(seed):
+        rng = np.random.default_rng(seed)
+        yc = int(rng.uniform(s // 2, 3 * s // 2))
+        xc = int(rng.uniform(s // 2, 3 * s // 2))
+        canvas = np.full((2 * s, 2 * s, 3), 114, np.uint8)
+        labels = []
+        for i, (img, b) in enumerate(zip(imgs, base_boxes)):
+            h, w = img.shape[:2]
+            if i == 0:
+                x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+                x1b, y1b = w - (x2a - x1a), h - (y2a - y1a)
+            elif i == 1:
+                x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, 2 * s), yc
+                x1b, y1b = 0, h - (y2a - y1a)
+            elif i == 2:
+                x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(2 * s, yc + h)
+                x1b, y1b = w - (x2a - x1a), 0
+            else:
+                x1a, y1a, x2a, y2a = xc, yc, min(xc + w, 2 * s), min(2 * s, yc + h)
+                x1b, y1b = 0, 0
+            canvas[y1a:y2a, x1a:x2a] = img[y1b:y1b + (y2a - y1a),
+                                           x1b:x1b + (x2a - x1a)]
+            bb = b.copy()
+            bb[:, [1, 3]] += x1a - x1b
+            bb[:, [2, 4]] += y1a - y1b
+            labels.append(bb)
+        labels = np.concatenate(labels)
+        labels[:, 1:] = labels[:, 1:].clip(0, 2 * s)
+        _, out = _reference_perspective_oracle(
+            canvas, labels, rng, degrees=0.0, translate=0.1, scale=0.5,
+            shear=0.0, border=(-s // 2, -s // 2))
+        return out
+
+    trials = 150
+    got = [podtpu_trial(1000 + i) for i in range(trials)]
+    want = [oracle_trial(5000 + i) for i in range(trials)]
+    surv_got = sum(len(b) for b in got) / (trials * n_in)
+    surv_want = sum(len(b) for b in want) / (trials * n_in)
+    assert abs(surv_got - surv_want) < 0.08, (surv_got, surv_want)
+    area_got = np.concatenate(
+        [(b[:, 3] - b[:, 1]) * (b[:, 4] - b[:, 2]) for b in got if len(b)])
+    area_want = np.concatenate(
+        [(b[:, 3] - b[:, 1]) * (b[:, 4] - b[:, 2]) for b in want if len(b)])
+    assert abs(np.log(area_got.mean() / area_want.mean())) < 0.15
+    assert abs(np.log(area_got.std() / area_want.std())) < 0.3
+
+
 def test_dataset_letterbox_and_simple(synth):
     for pipeline in ("letterbox", "simple"):
         ds = YoloTxtDataset(synth["train_list"], 160, augment=True,
