@@ -2,6 +2,17 @@
 
     python export_model.py --cfg configs/yolov3_voc.yaml [--ckpt ...] \
         --out model.stablehlo [--inspect]
+
+Options beyond the forward graph:
+  --with-postprocess   export the full serving unit fwd+decode+NMS (the
+                       reference's DecodeYoloVx deployment graph,
+                       utils/yolov3_utils.py:62-90)
+  --fold-bn            fold BN stats into conv kernels before export
+                       (onnxsim fuse-bn role)
+  --validate-npu       validate the artifact op set against the NPU
+                       whitelist and fail on unsupported ops
+                       (onnx2novaonnx_converter.py role)
+  --annotate out.json  write the sanitized per-layer annotation map
 """
 
 from __future__ import annotations
@@ -25,6 +36,14 @@ def main():
     ap.add_argument("--out", type=str, default="model.stablehlo")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--inspect", action="store_true")
+    ap.add_argument("--with-postprocess", action="store_true",
+                    help="export fwd+decode+NMS serving graph")
+    ap.add_argument("--fold-bn", action="store_true",
+                    help="fold BN into conv kernels before export")
+    ap.add_argument("--validate-npu", action="store_true",
+                    help="fail if the artifact uses non-whitelisted ops")
+    ap.add_argument("--annotate", type=str, default=None,
+                    help="write per-layer annotation map to this json")
     ap.add_argument("--platform", type=str, default=None,
                     help="pin JAX backend (e.g. cpu) for local runs")
     args = ap.parse_args()
@@ -36,10 +55,31 @@ def main():
         state = restore_weights(args.ckpt, state)
     model = build_model(cfg)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if args.fold_bn:
+        from podtpu.export.npu import fold_batchnorm
+
+        variables = fold_batchnorm(variables)
+        print("folded BN stats into conv kernels")
     shape = (args.batch, cfg["input_size"], cfg["input_size"],
              cfg.get("in_channels", 3))
-    path = export_stablehlo(model, variables, shape, args.out)
+    if args.with_postprocess:
+        from podtpu.export.stablehlo import export_serving
+
+        path = export_serving(model, variables, cfg, shape, args.out)
+    else:
+        path = export_stablehlo(model, variables, shape, args.out)
     print(f"exported to {path}")
+    if args.annotate:
+        from podtpu.export.npu import annotate_for_npu
+
+        info = annotate_for_npu(path, args.annotate)
+        print(f"annotated {info['num_layers']} layers -> {args.annotate}")
+    if args.validate_npu:
+        from podtpu.export.npu import validate_for_npu
+
+        report = validate_for_npu(path)  # raises on unsupported ops
+        print(f"NPU validation ok: {len(report['ops'])} distinct ops, "
+              "all whitelisted")
     if args.inspect:
         print(json.dumps(inspect_exported(path), indent=2))
 

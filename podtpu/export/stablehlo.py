@@ -39,6 +39,37 @@ def export_stablehlo(model, variables, input_shape, path: str,
     return path
 
 
+def export_serving(model, variables, cfg: dict, input_shape, path: str,
+                   dtype=jnp.float32) -> str:
+    """Export the full deployment unit: forward + decode + padded NMS.
+
+    The reference's deployable graph is ``DecodeYoloVx`` — model + decode +
+    nms in one module (utils/yolov3_utils.py:62-90). This is its artifact
+    equivalent: one StableHLO program from image batch to
+    ``(detections [B, max_det, 6], valid [B, max_det])``, weights frozen.
+    """
+    from podtpu.ops.nms import batched_class_aware_nms
+    from podtpu.train.steps import make_decoder
+
+    decoder = make_decoder(cfg)
+    conf_t = float(cfg.get("conf_threshold", 0.25))
+    iou_t = float(cfg.get("nms_iou_threshold", 0.45))
+    top_k = int(cfg.get("top_k_candidates", 512))
+    max_det = int(cfg.get("max_detections", 100))
+
+    def serve(x):
+        preds = model.apply(variables, x, train=False)
+        boxes = decoder(preds)
+        return batched_class_aware_nms(boxes, conf_t, iou_t, top_k=top_k,
+                                       max_detections=max_det)
+
+    x_spec = jax.ShapeDtypeStruct(input_shape, dtype)
+    exported = jexport.export(jax.jit(serve))(x_spec)
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+    return path
+
+
 def load_exported(path: str):
     """Load a serialized artifact; returns a callable (jit-wrapped)."""
     with open(path, "rb") as f:
@@ -59,8 +90,10 @@ def inspect_exported(path: str) -> dict:
     with open(path, "rb") as f:
         exported = jexport.deserialize(f.read())
     text = exported.mlir_module()
+    # negative lookbehind: skip file-path mentions like ".../stablehlo.py"
     ops = collections.Counter(
-        m.group(1) for m in re.finditer(r"\b(stablehlo\.\w+)", text)
+        m.group(1) for m in re.finditer(r"(?<![/\w])(stablehlo\.\w+)", text)
+        if m.group(1) != "stablehlo.py"
     )
     return {
         "in_avals": [str(a) for a in exported.in_avals],

@@ -295,6 +295,7 @@ def test_mosaic_mixup_cutout():
     assert len(bx2) <= 1
 
 
+@pytest.mark.slow
 def test_backbone_pretrained_partial_load(tmp_path):
     import jax
 
@@ -372,6 +373,7 @@ def test_uint8_output_matches_float(synth):
     np.testing.assert_array_equal(fb, ub)
 
 
+@pytest.mark.slow
 def test_train_step_accepts_uint8():
     import jax
     import jax.numpy as jnp

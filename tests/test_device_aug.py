@@ -53,6 +53,7 @@ def test_deterministic_per_key():
     assert not np.array_equal(np.asarray(a[0]), np.asarray(c[0]))
 
 
+@pytest.mark.slow
 def test_device_augment_wired_into_train_step():
     import numpy as np
 

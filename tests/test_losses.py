@@ -57,18 +57,21 @@ def test_yolov2_loss_v2_golden(v2_inputs):
     assert got == pytest.approx(322.930908203125, rel=1e-4)
 
 
+@pytest.mark.slow
 def test_yolov3_loss_golden(v3_inputs):
     preds, tgt = v3_inputs
     got = float(yolov3_loss(preds, tgt, C, VOC_ANCHORS, 416))
     assert got == pytest.approx(3222.644287109375, rel=1e-4)
 
 
+@pytest.mark.slow
 def test_yolov3_loss_v2_golden(v3_inputs):
     preds, tgt = v3_inputs
     got = float(yolov3_loss_v2(preds, tgt, C, VOC_ANCHORS, 416))
     assert got == pytest.approx(3246.80859375, rel=1e-4)
 
 
+@pytest.mark.slow
 def test_yolov3_loss_v3_golden(v3_inputs):
     preds, tgt = v3_inputs
     got = float(yolov3_loss_v3(preds, tgt, C, VOC_ANCHORS, 416))
@@ -82,6 +85,7 @@ def test_yolov1_loss_golden():
     assert got == pytest.approx(123.91336822509766, rel=1e-4)
 
 
+@pytest.mark.slow
 def test_losses_finite_gradients(v3_inputs):
     """Masked CIoU must not leak NaNs into gradients (the double-where trap)."""
     import jax

@@ -10,6 +10,8 @@ from podtpu.models import Darknet19, YoloV1, YoloV2, YoloV3, YoloV4Tiny
 from podtpu.models.layers import passthrough_reorg, upsample_nearest_2x
 
 
+pytestmark = pytest.mark.slow
+
 def _init_and_apply(model, shape):
     x = jnp.zeros(shape, jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x, train=False)

@@ -104,6 +104,7 @@ def test_batched_nms_shapes():
     assert valid.shape == (3, 16)
 
 
+@pytest.mark.slow
 def test_decode_shapes_and_scale():
     b, c = 2, 20
     p2 = jnp.zeros((b, 13, 13, 5 * 25))

@@ -46,6 +46,8 @@ from tests.helpers import (  # noqa: E402
 C = 20
 
 
+pytestmark = pytest.mark.slow
+
 def _randomize_bn_stats(model: "torch.nn.Module", seed: int):
     """Give running stats non-trivial values so the stat mapping is exercised."""
     g = torch.Generator().manual_seed(seed)
@@ -158,6 +160,7 @@ def test_podtpu_weights_load_into_reference_strict():
     _assert_close(t_out, j_out, "yolov2 reverse port")
 
 
+@pytest.mark.slow
 def test_lightning_ckpt_to_npz_strict_load(tmp_path):
     """A Lightning .ckpt round-trips through the CLI helper into a full
     (non-partial) podtpu train-state restore."""

@@ -13,6 +13,8 @@ from podtpu.ops.retina import (
     retinanet_loss,
 )
 
+pytestmark = pytest.mark.slow
+
 CFG = {
     "model": "retinanet",
     "num_classes": 4,

@@ -64,6 +64,7 @@ def test_decay_mask_targets_kernels_only(state):
             assert not decay, f"{path} should not decay"
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss(state):
     """Fixed batch, repeated steps -> the loss must go down (overfit check)."""
     step = make_train_step(TINY_CFG, mesh=None, donate=False)
@@ -79,6 +80,7 @@ def test_train_step_decreases_loss(state):
     assert int(s.step) == 12
 
 
+@pytest.mark.slow
 def test_batch_stats_update(state):
     step = make_train_step(TINY_CFG, mesh=None, donate=False)
     batch = jax.tree_util.tree_map(jnp.asarray, tiny_batch())
@@ -91,6 +93,7 @@ def test_batch_stats_update(state):
     assert changed, "BN running stats did not update"
 
 
+@pytest.mark.slow
 def test_eval_step_outputs(state):
     eval_step = make_eval_step(TINY_CFG, mesh=None)
     batch = jax.tree_util.tree_map(jnp.asarray, tiny_batch())
@@ -100,6 +103,7 @@ def test_eval_step_outputs(state):
     assert valid.shape == (4, 10)
 
 
+@pytest.mark.slow
 def test_multichip_dp_mesh():
     """Full DP train step over the 8 virtual CPU devices; parity with the
     single-device step on the same global batch."""
@@ -127,6 +131,7 @@ def test_multichip_dp_mesh():
                                    atol=1e-6)
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
 

@@ -60,6 +60,7 @@ def _loaders(cfg):
     return mk(train_ds, True), mk(val_ds, False)
 
 
+@pytest.mark.slow
 def test_fit_validate_checkpoint_resume(setup):
     cfg = setup
     train_loader, val_loader = _loaders(cfg)
@@ -92,6 +93,7 @@ def test_fit_validate_checkpoint_resume(setup):
     assert 0.0 <= result["val_mAP"] <= 1.0
 
 
+@pytest.mark.slow
 def test_early_stopping(setup):
     """Patience counts stale validation rounds (reference: patience=30 on
     val_loss; here patience=1 with val every epoch must stop early)."""
@@ -106,6 +108,7 @@ def test_early_stopping(setup):
     assert len(history) <= 3
 
 
+@pytest.mark.slow
 def test_train_cli_subprocess(tmp_path):
     """Drive the real `python train.py --cfg ... --platform cpu` surface."""
     import subprocess
@@ -145,6 +148,7 @@ def test_train_cli_subprocess(tmp_path):
     assert "val_mAP" in proc.stdout
 
 
+@pytest.mark.slow
 def test_swa_checkpoint(setup):
     cfg = dict(setup)
     cfg["swa"] = {"start_epoch": 0}
