@@ -42,8 +42,20 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place a host batch onto the mesh, sharded along the batch axis."""
+    """Place a host batch onto the mesh, sharded along the batch axis.
+
+    Single-process: a plain sharded device_put. Multi-process (multi-host
+    DP): each host holds only its local slice of the global batch, so the
+    global array is assembled from per-process local data — host ``i``'s
+    rows land on host ``i``'s devices (the per-host sharded input pipeline of
+    SURVEY.md §2.7; DistributedSampler analog)."""
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )

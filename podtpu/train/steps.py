@@ -102,6 +102,42 @@ def make_train_step(cfg: dict, mesh=None, donate: bool = True):
     )
 
 
+def make_stats_step(cfg: dict, mesh=None, momentum: float = 0.9):
+    """Forward-only BN-statistics step for SWA recalibration.
+
+    Runs the model in train mode (mutable batch_stats) and inverts the EWMA
+    update (``new = m*old + (1-m)*batch``) to recover THIS batch's raw
+    mean/var, so the caller can average raw batch statistics cumulatively
+    (torch.optim.swa_utils.update_bn semantics). ``momentum`` must match the
+    model's BatchNorm momentum (torch default 0.1 == flax 0.9 — see
+    podtpu/models/layers.py).
+    """
+
+    def stats_step(state, batch, rng):
+        _, updates = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            _as_input(batch["img"]),
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        return jax.tree_util.tree_map(
+            lambda new, old: (new - momentum * old) / (1.0 - momentum),
+            updates["batch_stats"], state.batch_stats,
+        )
+
+    if mesh is None:
+        return jax.jit(stats_step)
+
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        stats_step,
+        in_shardings=(repl, {"img": data, "annot": data}, repl),
+        out_shardings=repl,
+    )
+
+
 def make_eval_step(cfg: dict, mesh=None):
     """Build the jitted eval step: loss + decoded, NMS'd detections.
 

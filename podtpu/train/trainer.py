@@ -31,6 +31,20 @@ from podtpu.train.state import TrainState, create_train_state, param_count
 from podtpu.train.steps import make_eval_step, make_train_step
 
 
+def _local_rows(arr) -> np.ndarray:
+    """Batch-sharded device array -> this host's rows as numpy.
+
+    Single-process: the whole array. Multi-process DP: only this host's
+    addressable shards (in batch order) — they line up with the host-local
+    loader rows, so each host scores its own shard (val_loss is already the
+    global mean; val_mAP is logged per host over its shard)."""
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards])
+
+
 def make_run_dir(cfg: dict) -> str:
     base = os.path.join(cfg.get("save_dir", "./saved"), make_model_name(cfg))
     os.makedirs(base, exist_ok=True)
@@ -252,13 +266,45 @@ class Trainer:
                 self.log(f"early stopping after {bad_rounds} stale rounds")
                 break
         if swa_params is not None:
-            # BN stats should ideally be recalibrated on a stats pass; the
-            # running averages are kept as a practical approximation.
-            self.ckpt.save("swa", self.state.replace(params=swa_params))
-            self.log(f"saved SWA weights (averaged over {swa_count} epochs)")
+            swa_state = self.state.replace(params=swa_params)
+            # averaged weights shift every layer's activation distribution,
+            # so recalibrate BN statistics with a forward-only sweep over the
+            # train loader (torch.optim.swa_utils.update_bn role)
+            n_recal = int(swa_cfg.get("bn_recal_batches", 20))
+            swa_state = self.recalibrate_bn(swa_state, train_loader, n_recal)
+            self.ckpt.save("swa", swa_state)
+            self.log(f"saved SWA weights (averaged over {swa_count} epochs, "
+                     f"BN recalibrated over {n_recal} batches)")
         self.writer.flush()
         self.log(f"fit done in {time.time() - t_start:.1f}s")
         return self.history
+
+    def recalibrate_bn(self, state: TrainState, loader,
+                       num_batches: int = 20) -> TrainState:
+        """Replace ``state``'s batch_stats with the cumulative average of raw
+        batch statistics over ``num_batches`` train batches (the SWA
+        ``update_bn`` pass — forward only, no gradient)."""
+        from podtpu.train.steps import make_stats_step
+
+        stats_step = make_stats_step(self.cfg, self.mesh)
+        loader.set_epoch(0)
+        acc = None
+        n = 0
+        for batch in loader:
+            if n >= num_batches:
+                break
+            batch.pop("n_valid", None)
+            raw = stats_step(state, self._put(batch), self.rng)
+            n += 1
+            if acc is None:
+                acc = raw
+            else:
+                w = 1.0 / n
+                acc = jax.tree_util.tree_map(
+                    lambda a, r: a + (r - a) * w, acc, raw)
+        if acc is None:
+            return state
+        return state.replace(batch_stats=acc)
 
     def validate(self, val_loader) -> dict:
         self.map_metric.reset_states()
@@ -272,8 +318,8 @@ class Trainer:
             # a padded final batch repeats its last sample — slice them off
             self.map_metric.update_state(
                 batch["annot"][:n_valid],
-                np.asarray(dets)[:n_valid],
-                np.asarray(valid)[:n_valid],
+                _local_rows(dets)[:n_valid],
+                _local_rows(valid)[:n_valid],
             )
         val_loss = float(np.mean(losses)) if losses else float("nan")
         val_map = self.map_metric.result()

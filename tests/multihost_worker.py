@@ -1,0 +1,76 @@
+"""Worker for the two-process DP test (launched by tests/test_multihost.py).
+
+Each process: joins a jax.distributed CPU cluster (2 processes x 2 virtual
+devices = 4-device global mesh), dumps its loader shard indices, runs ONE
+global DP train step on a deterministic global batch (rows pid*4..pid*4+3
+local), and writes loss + a parameter checksum. The parent asserts the shards
+are disjoint/exhaustive and the step matches a single-process run on the
+same global batch (SURVEY.md §2.7 per-host sharded input requirement).
+
+Usage: python multihost_worker.py <pid> <port> <out_json> <train_list>
+"""
+
+import json
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    pid, port, out_path, train_list = (
+        int(sys.argv[1]), sys.argv[2], sys.argv[3], sys.argv[4])
+    jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2,
+                               process_id=pid)
+    assert jax.process_count() == 2
+    assert len(jax.devices()) == 4
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from podtpu.data.dataset import YoloTxtDataset
+    from podtpu.data.loader import Loader, pad_annotations
+    from podtpu.parallel.mesh import make_mesh, replicated_sharding, shard_batch
+    from podtpu.train.state import create_train_state
+    from podtpu.train.steps import make_train_step
+    from tests.multihost_common import CFG, make_global_batch
+
+    ds = YoloTxtDataset(train_list, CFG["input_size"], augment=False,
+                        pipeline="simple")
+    loader = Loader(ds, batch_size=3, shuffle=True, max_annots=8, workers=1,
+                    seed=7, host_id=jax.process_index(),
+                    host_count=jax.process_count())
+    loader.set_epoch(0)
+    my_indices = [int(i) for i in loader._indices()]
+
+    imgs, annots = make_global_batch(ds, pad_annotations)
+    local = {"img": imgs[pid * 4:(pid + 1) * 4],
+             "annot": annots[pid * 4:(pid + 1) * 4]}
+
+    mesh = make_mesh()
+    state = create_train_state(CFG, jax.random.PRNGKey(0))
+    state = jax.device_put(state, replicated_sharding(mesh))
+    step = make_train_step(CFG, mesh, donate=False)
+    new_state, metrics = step(state, shard_batch(local, mesh),
+                              jax.random.PRNGKey(1))
+    loss = float(metrics["loss"])
+    psum = float(sum(float(jnp.sum(x))
+                     for x in jax.tree_util.tree_leaves(new_state.params)))
+
+    with open(out_path, "w") as f:
+        json.dump({"pid": pid, "indices": my_indices, "loss": loss,
+                   "param_sum": psum,
+                   "n_devices": len(jax.devices()),
+                   "n_local": len(jax.local_devices())}, f)
+
+
+if __name__ == "__main__":
+    main()
