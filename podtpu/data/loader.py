@@ -19,9 +19,23 @@ from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 import numpy as np
+
+# Process-pool workers inherit the dataset once via fork (initializer), so
+# per-sample IPC ships only the result arrays, not the dataset.
+_WORKER_DATASET = None
+
+
+def _init_pool_worker(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _pool_get(args):
+    index, seed = args
+    return _WORKER_DATASET.get(index, seed)
 
 
 def pad_annotations(boxes_list, max_annots: int) -> np.ndarray:
@@ -48,6 +62,7 @@ class Loader:
         host_id: int = 0,
         host_count: int = 1,
         prefetch: int = 4,
+        worker_mode: str = "thread",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -59,6 +74,11 @@ class Loader:
         self.host_id = host_id
         self.host_count = host_count
         self.prefetch = prefetch
+        # "thread" (default; cv2 releases the GIL in its hot paths) or
+        # "process" (GIL-proof fallback for numpy-heavy augmentation mixes;
+        # note the in-RAM image cache is then per-worker, not shared)
+        assert worker_mode in ("thread", "process")
+        self.worker_mode = worker_mode
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -104,7 +124,19 @@ class Loader:
             # Any worker exception must reach the consumer — a silently dead
             # producer would deadlock the training loop on q.get().
             try:
-                with ThreadPoolExecutor(self.workers) as pool:
+                if self.worker_mode == "process":
+                    # spawn, not fork: the pool is created from a producer
+                    # thread and cv2 holds internal locks — forking a
+                    # threaded process deadlocks in the children
+                    import multiprocessing as mp
+
+                    pool_cm = ProcessPoolExecutor(
+                        self.workers, mp_context=mp.get_context("spawn"),
+                        initializer=_init_pool_worker,
+                        initargs=(self.dataset,))
+                else:
+                    pool_cm = ThreadPoolExecutor(self.workers)
+                with pool_cm as pool:
                     for batch_idx in batches:
                         if stop.is_set():
                             return
@@ -114,14 +146,13 @@ class Loader:
                             batch_idx = np.concatenate(
                                 [batch_idx, np.repeat(batch_idx[-1:], pad)]
                             )
-                        samples = list(
-                            pool.map(
-                                lambda i: self.dataset.get(
-                                    int(i), self._sample_seed(i)
-                                ),
-                                batch_idx,
-                            )
-                        )
+                        work = [(int(i), self._sample_seed(i))
+                                for i in batch_idx]
+                        if self.worker_mode == "process":
+                            samples = list(pool.map(_pool_get, work))
+                        else:
+                            samples = list(pool.map(
+                                lambda w: self.dataset.get(*w), work))
                         imgs = np.stack([s[0] for s in samples])
                         annots = pad_annotations(
                             [s[1] for s in samples], self.max_annots

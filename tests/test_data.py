@@ -270,6 +270,23 @@ def test_loader_host_sharding(synth):
     assert seen == [3, 3, 3, 3]
 
 
+@pytest.mark.slow
+def test_loader_process_mode_matches_threads(synth):
+    """worker_mode='process' (spawn pool) must yield the identical stream to
+    the thread pool — samples are pure functions of (index, seed)."""
+    ds = YoloTxtDataset(synth["train_list"], 160, augment=True,
+                        pipeline="letterbox")
+    a = Loader(ds, batch_size=4, shuffle=True, max_annots=6, workers=2,
+               seed=3, worker_mode="thread")
+    b = Loader(ds, batch_size=4, shuffle=True, max_annots=6, workers=2,
+               seed=3, worker_mode="process")
+    a.set_epoch(1)
+    b.set_epoch(1)
+    for ba, bb in zip(a, b):
+        np.testing.assert_array_equal(ba["img"], bb["img"])
+        np.testing.assert_array_equal(ba["annot"], bb["annot"])
+
+
 def test_mosaic_mixup_cutout():
     from podtpu.data.augment import cutout, mixup, mosaic4
 

@@ -32,6 +32,7 @@ def train(cfg: dict, resume: str | None = None, epochs: int | None = None):
         seed=cfg.get("seed", 0),
         host_id=host_id,
         host_count=host_count,
+        worker_mode=cfg.get("worker_mode", "thread"),
     )
     val_loader = Loader(
         val_ds,
