@@ -18,6 +18,16 @@ function of (image, labels, seed) — deterministic, resumable, and
 shardable across hosts. Boxes are [N, 5] rows; the letterbox path uses
 ``[cls, x1, y1, x2, y2]`` pixels mid-pipeline, the public batch format is
 ``[cx, cy, w, h, cls]`` normalized.
+
+Provenance note: the letterbox/affine/box-filter *distributions* (matrix
+pipeline, gray-114 fill, candidate thresholds) deliberately match the
+reference's Ultralytics-derived augmentations
+(dataset/detection/augmentations.py, GPL-3.0-tagged upstream) because
+matching the published VOC numbers requires matching those exact output
+distributions — they are the parity surface, locked by oracle tests in
+tests/test_data.py. The code here is an independent reimplementation
+(explicit generator threading, no perspective/segment branches, different
+structure), not a copy.
 """
 
 from __future__ import annotations

@@ -13,7 +13,8 @@ from podtpu.train.optim import build_optimizer
 torch = pytest.importorskip("torch")
 
 
-def test_sgd_nesterov_coupled_decay_matches_torch():
+@pytest.mark.parametrize("flat", [False, True])
+def test_sgd_nesterov_coupled_decay_matches_torch(flat):
     rng = np.random.default_rng(0)
     w_kernel = rng.normal(0, 1, (4, 3)).astype(np.float32)
     w_bias = rng.normal(0, 1, (3,)).astype(np.float32)
@@ -28,7 +29,7 @@ def test_sgd_nesterov_coupled_decay_matches_torch():
     cfg = {
         "optimizer": "sgd",
         "optimizer_options": {"lr": 0.01, "momentum": 0.9, "nesterov": True,
-                              "weight_decay": 0.05},
+                              "weight_decay": 0.05, "flat": flat},
         "scheduler": None,
     }
     params = {"kernel": jnp.asarray(w_kernel), "bias": jnp.asarray(w_bias),
