@@ -23,6 +23,9 @@ import numpy as np
 PALETTE = [
     (220, 40, 40), (40, 200, 60), (50, 80, 230), (230, 220, 50),
     (200, 60, 200), (60, 220, 220), (240, 140, 40), (140, 70, 20),
+    (90, 90, 90), (250, 250, 250), (120, 40, 160), (40, 120, 160),
+    (160, 120, 40), (20, 60, 120), (120, 20, 60), (60, 120, 20),
+    (200, 160, 120), (120, 200, 160), (160, 120, 200), (30, 30, 200),
 ]
 
 

@@ -104,6 +104,58 @@ def test_batched_nms_shapes():
     assert valid.shape == (3, 16)
 
 
+def test_host_nms_variants():
+    """Dormant-variant surface (utils/yolo_utils.py nms_v1/v2, Ultralytics
+    non_max_suppression): agreement on separated boxes, metric quirks where
+    they differ."""
+    from podtpu.ops.nms_host import nms_v1, nms_v2, non_max_suppression
+
+    # two overlapping same-class boxes + one separate other-class box
+    boxes = np.array([
+        [50, 50, 40, 40, 0.9, 1],
+        [52, 52, 40, 40, 0.8, 1],   # IoU ~0.82 with the first -> suppressed
+        [150, 150, 30, 30, 0.7, 2],
+    ], np.float32)
+    for fn in (nms_v1, nms_v2):
+        out = fn(boxes, conf_threshold=0.25, iou_threshold=0.45)
+        assert out.shape == (2, 6)
+        assert set(out[:, 5].tolist()) == {1.0, 2.0}
+        assert 0.9 in out[:, 4] and 0.8 not in out[:, 4]
+
+    # different class => never suppressed, even at perfect overlap
+    b2 = np.array([[50, 50, 40, 40, 0.9, 1], [50, 50, 40, 40, 0.8, 2]],
+                  np.float32)
+    assert len(nms_v1(b2)) == 2 and len(nms_v2(b2)) == 2
+
+    # v2's overlap metric is intersection/other-area (not IoU): a small box
+    # fully inside a big same-class box has overlap 1.0 relative to itself
+    # -> suppressed by v2; IoU is only ~0.25 -> kept by v1
+    b3 = np.array([[50, 50, 40, 40, 0.9, 1], [50, 50, 20, 20, 0.8, 1]],
+                  np.float32)
+    assert len(nms_v1(b3, iou_threshold=0.45)) == 2
+    assert len(nms_v2(b3, iou_threshold=0.45)) == 1
+
+    # Ultralytics variant: raw rows, multi_label & merge options
+    raw = np.array([
+        [50, 50, 40, 40, 0.9, 0.8, 0.6, 0.0],
+        [52, 52, 40, 40, 0.8, 0.9, 0.0, 0.0],
+        [150, 150, 30, 30, 0.9, 0.0, 0.0, 0.9],
+    ], np.float32)
+    single = non_max_suppression(raw, conf_thres=0.25, iou_thres=0.45)
+    assert single.shape[1] == 6
+    assert len(single) == 2  # the two overlapping argmax-class-0 rows merge
+    multi = non_max_suppression(raw, conf_thres=0.25, iou_thres=0.45,
+                                multi_label=True)
+    # multi-label keeps (box0, cls1) alongside the best (box0-ish, cls0)
+    assert len(multi) >= 3
+    merged = non_max_suppression(raw, conf_thres=0.25, iou_thres=0.45,
+                                 merge=True)
+    assert len(merged) == 2
+    # merged survivor coordinates are the score-weighted blend, not box 0's
+    x1 = merged[merged[:, 5] == 0.0][0, 0]
+    assert 30.0 < x1 < 32.1 and not np.isclose(x1, 30.0)
+
+
 @pytest.mark.slow
 def test_decode_shapes_and_scale():
     b, c = 2, 20
