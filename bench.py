@@ -13,6 +13,12 @@ estimated reference training throughput on its single unspecified GPU — a
 YOLOv3-darknet19@416 torch fwd+bwd at batch 64 is ~150-200 img/s on a
 2080Ti-class card, and the reference's per-step CPU Python target-encoding
 loop (SURVEY.md §3.1) drags it below that. vs_baseline = value / REF_GPU_IPS.
+
+The baseline is an ESTIMATE (no GPU in this environment to measure the
+reference), so vs_baseline carries roughly a 0.5-2x band; the absolute
+images/sec/chip and the roofline position (RESULTS.md "Round-2 MFU attack":
+495 GB/s effective of 819 peak, bandwidth-bound, pure-BW floor ~1540 img/s)
+are the hard numbers. Run-to-run variance over the axon tunnel is ~±3%.
 """
 
 from __future__ import annotations

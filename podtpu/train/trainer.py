@@ -230,6 +230,12 @@ class Trainer:
                 row.update(val)
                 self.writer.add_scalar("val_loss", val["val_loss"], step)
                 self.writer.add_scalar("val_mAP", val["val_mAP"], step)
+                # per-class AP scalars (ROADMAP polish: AP breakdown in TB);
+                # result_per_class rows are [AP, TP, FP, FN]
+                for name, row_c in zip(self._class_names(),
+                                       self.map_metric.result_per_class()):
+                    self.writer.add_scalar(f"val_AP/{name}", float(row_c[0]),
+                                           step)
                 if val["val_loss"] < best_val:
                     best_val = val["val_loss"]
                     bad_rounds = 0
@@ -278,6 +284,18 @@ class Trainer:
         self.writer.flush()
         self.log(f"fit done in {time.time() - t_start:.1f}s")
         return self.history
+
+    def _class_names(self) -> list[str]:
+        names_path = self.cfg.get("names")
+        n = self.cfg["num_classes"]
+        try:
+            with open(names_path) as f:
+                names = [l.strip() for l in f if l.strip()]
+            if len(names) >= n:
+                return names[:n]
+        except (TypeError, OSError):
+            pass
+        return [f"class{i}" for i in range(n)]
 
     def recalibrate_bn(self, state: TrainState, loader,
                        num_batches: int = 20) -> TrainState:

@@ -48,7 +48,9 @@ def rehearsal_cfg(model: str, info: dict, epochs: int, save_dir: str) -> dict:
     )
     sched = dict(cfg.get("scheduler_options", {}))
     if cfg.get("scheduler") == "yolo_lr":
-        sched["steps"] = [4000]  # 40k -> 4k: decay inside the rehearsal
+        # compress the 40k-step decay so it fires inside the rehearsal
+        # (burn-in stays the real 1000 steps)
+        sched["steps"] = [int(cfg.get("rehearsal_decay_step", 2000))]
         cfg["scheduler_options"] = sched
     return cfg
 
@@ -58,7 +60,9 @@ def main():
     ap.add_argument("--data", type=str, default="/tmp/voc_rehearsal_data")
     ap.add_argument("--model", type=str, default="yolov2",
                     choices=["yolov2", "yolov3"])
-    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--decay-step", type=int, default=2000,
+                    help="compressed yolo_lr decay step (real recipe: 40000)")
     ap.add_argument("--n-train", type=int, default=14041)
     ap.add_argument("--n-val", type=int, default=2510)
     ap.add_argument("--size", type=int, default=416)
@@ -73,7 +77,10 @@ def main():
 
     setup_platform(args.platform)
     info = ensure_data(args.data, args.n_train, args.n_val, args.size)
-    cfg = rehearsal_cfg(args.model, info, args.epochs, args.save_dir)
+    cfg = rehearsal_cfg(args.model, dict(info,), args.epochs, args.save_dir)
+    cfg["rehearsal_decay_step"] = args.decay_step
+    if cfg.get("scheduler") == "yolo_lr":
+        cfg["scheduler_options"]["steps"] = [args.decay_step]
     cfg_path = os.path.join(args.data, f"{args.model}_rehearsal.yaml")
     yaml.safe_dump(cfg, open(cfg_path, "w"))
     print(f"rehearsal config -> {cfg_path}")
