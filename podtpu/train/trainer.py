@@ -16,6 +16,7 @@ Lightning stack (pl.Trainer + callbacks, train_yolov3.py:50-74):
 from __future__ import annotations
 
 import os
+import sys
 import time
 from typing import Callable
 
@@ -169,6 +170,9 @@ class Trainer:
                     def add_scalar(self, *a, **k):
                         pass
 
+                    def add_image(self, *a, **k):
+                        pass
+
                     def flush(self):
                         pass
 
@@ -200,18 +204,32 @@ class Trainer:
         bad_rounds = 0
         t_start = time.time()
 
+        # Lightning-style in-epoch progress line (opt-out: progress: false);
+        # only when stdout is a tty so logs/CI stay clean
+        progress = bool(cfg.get("progress", True)) and sys.stdout.isatty()
+        steps_per_epoch = len(train_loader)
+
         for epoch in range(epochs):
             train_loader.set_epoch(epoch)
             losses = []
             t_epoch = time.time()
             n_images = 0
-            for batch in train_loader:
+            for i, batch in enumerate(train_loader):
                 n_images += batch.pop("n_valid", batch["img"].shape[0])
                 batch = self._put(batch)
                 self.state, metrics = self.train_step(
                     self.state, batch, self.rng
                 )
                 losses.append(metrics["loss"])
+                if progress and (i % 10 == 9 or i + 1 == steps_per_epoch):
+                    # float() syncs on the ready-by-now previous loss only
+                    rate = n_images / max(time.time() - t_epoch, 1e-9)
+                    sys.stdout.write(
+                        f"\repoch {epoch}: {i + 1}/{steps_per_epoch} "
+                        f"loss={float(losses[-1]):.4g} {rate:.1f} img/s   ")
+                    sys.stdout.flush()
+            if progress:
+                sys.stdout.write("\r\033[K")
             if not losses:
                 raise RuntimeError("empty train loader")
             train_loss = float(jnp.mean(jnp.stack(losses)))
@@ -228,6 +246,9 @@ class Trainer:
             if (epoch + 1) % val_every == 0:
                 val = self.validate(val_loader)
                 row.update(val)
+                n_img = int(cfg.get("log_images", 0))
+                if n_img:
+                    self._log_val_images(val_loader, n_img, step)
                 self.writer.add_scalar("val_loss", val["val_loss"], step)
                 self.writer.add_scalar("val_mAP", val["val_mAP"], step)
                 # per-class AP scalars (ROADMAP polish: AP breakdown in TB);
@@ -284,6 +305,32 @@ class Trainer:
         self.writer.flush()
         self.log(f"fit done in {time.time() - t_start:.1f}s")
         return self.history
+
+    def _log_val_images(self, val_loader, n_img: int, step: int):
+        """Tagged-detection images to TensorBoard: GT red, predictions green
+        (the reference's inference window, inference_yolov3.py:86-90, as TB
+        panels). Opt-in via cfg ``log_images: N``."""
+        from podtpu.utils.viz import annots_to_boxes, draw_boxes
+
+        names = self._class_names()
+        size = self.cfg["input_size"]
+        val_loader.set_epoch(0)
+        batch = next(iter(val_loader))
+        batch.pop("n_valid", None)
+        _, dets, valid = self.eval_step(self.state, self._put(batch))
+        dets = _local_rows(dets)
+        valid = _local_rows(valid)
+        imgs = np.asarray(batch["img"][:n_img])
+        if imgs.dtype != np.uint8:
+            imgs = (imgs * 255).astype(np.uint8)
+        for i in range(min(n_img, imgs.shape[0])):
+            img = np.ascontiguousarray(imgs[i])
+            img = draw_boxes(img, annots_to_boxes(batch["annot"][i], size),
+                             names, color=(255, 0, 0))
+            img = draw_boxes(img, dets[i][valid[i]], names,
+                             color=(0, 255, 0))
+            self.writer.add_image(f"val_detections/{i}", img, step,
+                                  dataformats="HWC")
 
     def _class_names(self) -> list[str]:
         names_path = self.cfg.get("names")

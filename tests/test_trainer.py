@@ -42,6 +42,7 @@ def setup(tmp_path_factory):
         "scheduler_options": {"burn_in": 4, "steps": [100], "scales": [0.1]},
         "top_k_candidates": 64,
         "max_detections": 10,
+        "log_images": 2,  # exercise tagged-detection TB panels each val
         "train_list": info["train_list"],
         "val_list": info["val_list"],
         "names": info["names"],
