@@ -23,6 +23,19 @@ per slot + gather) was tried and measured SLOWER on TPU v5e — 243.9 vs
 lowers duplicate-index scatters poorly; the T-step scan of small dense
 updates wins and stays.
 
+The DEFAULT is a second, scatter-free *dense* formulation
+(``backend="dense"`` / env ``PODTPU_ENCODER``): the last-write-wins slot
+owner is a max-reduction of the annotation order over a broadcast slot-id
+comparison, per-slot values are a gather from the winning annotation, and
+the noobj ignore mask is a one-hot matmul (``cell-onehot @ iou-mask``) that
+runs on the MXU. It produces bit-identical targets (locked by
+tests/test_assign.py running every oracle under both backends) with no
+sequential dependency at all — the whole encoder is parallel
+compare/reduce/matmul work instead of a 64-iteration while loop. Measured
+on the v5e batch-128 YOLOv3-416 train step: 973.7/971.2 img/s dense vs
+938.2 scan (+3.8%; the three whiles disappear from the critical path).
+``PODTPU_ENCODER=scan`` restores the sequential writer.
+
 Grid layout is [B, H, W, A] (NHWC-consistent with the heads), vs. the
 reference's [B, A, H, W] — a pure transpose, irrelevant to semantics.
 
@@ -33,12 +46,17 @@ yolov2_loss.py:289).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from podtpu.ops.boxes import wh_iou
+
+
+def _default_backend() -> str:
+    return os.environ.get("PODTPU_ENCODER", "dense")
 
 
 class AnchorTargets(NamedTuple):
@@ -68,6 +86,7 @@ def encode_anchor_targets(
     match_scale: tuple[float, float] | None = None,
     cls_pos: float = 1.0,
     cls_neg: float = 0.0,
+    backend: str | None = None,
 ) -> AnchorTargets:
     """Encode GT boxes onto one anchor grid.
 
@@ -90,6 +109,9 @@ def encode_anchor_targets(
         pixel matching. Defaults to (layer_w, layer_h).
       cls_pos, cls_neg: class target values (label smoothing for YoloV3LossV2
         uses smooth_BCE(0.01): yolov3_loss.py:227,359-360).
+      backend: "scan" (sequential writes) or "dense" (winner-index
+        max-reduce + one-hot matmuls). ``None`` reads ``PODTPU_ENCODER``
+        (default "scan"). Both are bit-identical.
 
     Returns:
       :class:`AnchorTargets` with float32 arrays.
@@ -146,6 +168,12 @@ def encode_anchor_targets(
         jax.nn.one_hot(cid, num_classes, dtype=bool), cls_pos, tcls_gt
     )
 
+    if (backend or _default_backend()) == "dense":
+        return _dense_anchor_writes(
+            valid, gj, gi, best, iou_local, tbox_gt, tcls_gt,
+            layer_h, layer_w, num_anchors, num_classes, ignore_threshold,
+        )
+
     # --- sequential grid writes (preserves the reference's overwrite order) -
     init = AnchorTargets(
         mask=jnp.zeros((b, layer_h, layer_w, num_anchors), jnp.float32),
@@ -193,6 +221,58 @@ def encode_anchor_targets(
 def _bcast(v: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
     """Broadcast the [B] validity flag against a [B, ...] value."""
     return v.reshape(v.shape + (1,) * (like.ndim - 1))
+
+
+def _dense_anchor_writes(
+    valid, gj, gi, best, iou_local, tbox_gt, tcls_gt,
+    layer_h: int, layer_w: int, num_anchors: int, num_classes: int,
+    ignore_threshold: float,
+) -> AnchorTargets:
+    """Order-free re-expression of the scan's grid writes.
+
+    Last-write-wins becomes "the annotation with the highest order number
+    owns the slot": ``winner[b, s] = max_t (t+1) * [slot_t == s]`` — one
+    broadcast compare + max-reduce, no sequential dependency. Per-slot
+    values are a gather from the winning annotation; the noobj ignore mask
+    is monotone (only ever zeroed), so it is an OR over annotations —
+    computed as a ``[B,T,HW] @ [B,T,A]`` one-hot matmul on the MXU.
+    """
+    b, t = valid.shape
+    hw = layer_h * layer_w
+    n_slots = hw * num_anchors
+
+    cell = gj * layer_w + gi                               # [B, T]
+    slot = cell * num_anchors + best                       # [B, T]
+    order = jnp.where(valid, jnp.arange(1, t + 1, dtype=jnp.int32)[None, :], 0)
+
+    # Slot owner: max annotation order among annotations writing this slot.
+    eq = slot[:, :, None] == jnp.arange(n_slots, dtype=jnp.int32)  # [B, T, S]
+    winner = jnp.max(jnp.where(eq, order[:, :, None], 0), axis=1)  # [B, S]
+    mask_flat = (winner > 0).astype(jnp.float32)
+
+    # Values of the winning annotation: gather along the (small) T axis.
+    idx = jnp.clip(winner - 1, 0, t - 1)                   # [B, S]
+    feats = jnp.concatenate([tbox_gt, tcls_gt], axis=-1)   # [B, T, 4+C]
+    vals = jnp.take_along_axis(feats, idx[:, :, None], axis=1)  # [B, S, 4+C]
+    vals = vals * mask_flat[:, :, None]
+
+    # noobj: zero every (cell, anchor) where ANY valid GT in that cell has
+    # wh-IoU > threshold with that anchor — an OR over T == one-hot matmul.
+    cellhot = (
+        (cell[:, :, None] == jnp.arange(hw, dtype=jnp.int32)) & valid[:, :, None]
+    ).astype(jnp.float32)                                  # [B, T, HW]
+    ioum = (iou_local > ignore_threshold).astype(jnp.float32)  # [B, T, A]
+    hit = jnp.einsum("bth,bta->bha", cellhot, ioum)        # [B, HW, A]
+    noobj = (hit == 0.0).astype(jnp.float32)
+
+    grid = (b, layer_h, layer_w, num_anchors)
+    return AnchorTargets(
+        mask=mask_flat.reshape(grid),
+        noobj_mask=noobj.reshape(grid),
+        tbox=vals[..., :4].reshape(grid + (4,)),
+        tconf=mask_flat.reshape(grid),
+        tcls=vals[..., 4:].reshape(grid + (num_classes,)),
+    )
 
 
 class Yolov1Targets(NamedTuple):

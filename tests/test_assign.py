@@ -4,6 +4,7 @@ independent numpy oracle that implements the reference's loop semantics
 including write order (later GT overwrites for v2/v3; first wins for v1)."""
 
 import numpy as np
+import pytest
 
 from podtpu.ops.assign import encode_anchor_targets, encode_yolov1_targets
 from tests.helpers import VOC_ANCHORS, VOC_SCALED_ANCHORS, make_targets
@@ -86,20 +87,24 @@ def oracle_v3_layer(target, num_classes, anchors, input_size, layer_idx,
     return mask, noobj, tbox, tconf, tcls
 
 
-def test_v2_assignment_matches_oracle():
+@pytest.mark.parametrize("backend", ["scan", "dense"])
+def test_v2_assignment_matches_oracle(backend):
     target = make_targets(6, 12, C, seed=3)
-    got = encode_anchor_targets(target, C, VOC_SCALED_ANCHORS, 13, 13, 0.5)
+    got = encode_anchor_targets(target, C, VOC_SCALED_ANCHORS, 13, 13, 0.5,
+                                backend=backend)
     want = oracle_v2(target, C, VOC_SCALED_ANCHORS, 13, 13)
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), w, atol=1e-5)
 
 
-def test_v2_overwrite_semantics():
+@pytest.mark.parametrize("backend", ["scan", "dense"])
+def test_v2_overwrite_semantics(backend):
     # Two GTs in the same cell matching the same anchor: the later must win.
     target = -np.ones((1, 4, 5), np.float32)
     target[0, 0] = [0.5, 0.5, 0.30, 0.30, 2]
     target[0, 1] = [0.52, 0.52, 0.32, 0.32, 7]
-    got = encode_anchor_targets(target, C, VOC_SCALED_ANCHORS, 13, 13, 0.5)
+    got = encode_anchor_targets(target, C, VOC_SCALED_ANCHORS, 13, 13, 0.5,
+                                backend=backend)
     want = oracle_v2(target, C, VOC_SCALED_ANCHORS, 13, 13)
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), w, atol=1e-5)
@@ -107,7 +112,8 @@ def test_v2_overwrite_semantics():
     assert np.asarray(got.tcls)[0, 6, 6].max(axis=0)[7] == 1.0
 
 
-def test_v3_assignment_matches_oracle_all_layers():
+@pytest.mark.parametrize("backend", ["scan", "dense"])
+def test_v3_assignment_matches_oracle_all_layers(backend):
     target = make_targets(5, 10, C, seed=4)
     for layer_idx, hw in enumerate((52, 26, 13)):
         got = encode_anchor_targets(
@@ -117,14 +123,15 @@ def test_v3_assignment_matches_oracle_all_layers():
             hw, hw, 0.5,
             match_anchors=VOC_ANCHORS,
             layer_anchor_slice=(3 * layer_idx, 3 * layer_idx + 3),
-            match_scale=(416.0, 416.0),
+            match_scale=(416.0, 416.0), backend=backend,
         )
         want = oracle_v3_layer(target, C, VOC_ANCHORS, 416, layer_idx, hw, hw)
         for g, w in zip(got, want):
             np.testing.assert_allclose(np.asarray(g), w, atol=1e-5)
 
 
-def test_v3_label_smoothing_values():
+@pytest.mark.parametrize("backend", ["scan", "dense"])
+def test_v3_label_smoothing_values(backend):
     target = -np.ones((1, 2, 5), np.float32)
     target[0, 0] = [0.5, 0.5, 0.8, 0.8, 3]  # huge box -> best anchor in layer 2
     got = encode_anchor_targets(
@@ -132,6 +139,7 @@ def test_v3_label_smoothing_values():
         13, 13, 0.5,
         match_anchors=VOC_ANCHORS, layer_anchor_slice=(6, 9),
         match_scale=(416.0, 416.0), cls_pos=0.995, cls_neg=0.005,
+        backend=backend,
     )
     cell = np.asarray(got.tcls)[0, 6, 6]
     assigned = np.asarray(got.mask)[0, 6, 6].astype(bool)
