@@ -13,6 +13,10 @@ Options beyond the forward graph:
                        whitelist and fail on unsupported ops
                        (onnx2novaonnx_converter.py role)
   --annotate out.json  write the sanitized per-layer annotation map
+  --quantize int8      static PTQ: calibrate activation scales on training
+                       batches (--calib-batches) and export int8 convs
+                       (the int8-NPU deployment role; see
+                       podtpu/export/quantize.py)
 """
 
 from __future__ import annotations
@@ -27,6 +31,34 @@ from podtpu.export.stablehlo import export_stablehlo, inspect_exported
 from podtpu.models import build_model
 from podtpu.train.state import create_train_state
 from podtpu.train.trainer import restore_weights
+
+
+def _calibration_batches(cfg: dict, shape, n: int):
+    """Calibration inputs for PTQ: real validation images when the cfg has
+    data lists, else uniform noise (with a warning — scales will be crude)."""
+    import numpy as np
+
+    try:
+        from podtpu.data import Loader, build_datasets
+
+        _, val_ds = build_datasets(cfg)
+        loader = Loader(val_ds, batch_size=shape[0], shuffle=False,
+                        max_annots=cfg.get("max_annots", 64),
+                        workers=1)
+        out = []
+        for batch in loader:
+            x = np.asarray(batch["img"])
+            if x.dtype == np.uint8:
+                x = x.astype(np.float32) / 255.0
+            out.append(x)
+            if len(out) >= n:
+                break
+        if out:
+            return out
+    except Exception as e:  # noqa: BLE001 — fall back to noise
+        print(f"calibration loader unavailable ({e}); using uniform noise")
+    rng = np.random.default_rng(0)
+    return [rng.uniform(0, 1, shape).astype(np.float32) for _ in range(n)]
 
 
 def main():
@@ -44,6 +76,10 @@ def main():
                     help="fail if the artifact uses non-whitelisted ops")
     ap.add_argument("--annotate", type=str, default=None,
                     help="write per-layer annotation map to this json")
+    ap.add_argument("--quantize", type=str, default=None, choices=["int8"],
+                    help="static PTQ for the artifact (int8 convs)")
+    ap.add_argument("--calib-batches", type=int, default=8,
+                    help="calibration batches for --quantize")
     ap.add_argument("--platform", type=str, default=None,
                     help="pin JAX backend (e.g. cpu) for local runs")
     args = ap.parse_args()
@@ -62,6 +98,13 @@ def main():
         print("folded BN stats into conv kernels")
     shape = (args.batch, cfg["input_size"], cfg["input_size"],
              cfg.get("in_channels", 3))
+    if args.quantize == "int8":
+        from podtpu.export.quantize import quantize_for_serving
+
+        variables = quantize_for_serving(
+            model, variables,
+            _calibration_batches(cfg, shape, args.calib_batches))
+        print(f"int8 PTQ: calibrated on {args.calib_batches} batches")
     if args.with_postprocess:
         from podtpu.export.stablehlo import export_serving
 

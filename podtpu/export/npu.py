@@ -44,6 +44,8 @@ DEFAULT_NPU_WHITELIST = frozenset({
     "stablehlo.logistic", "stablehlo.tanh", "stablehlo.abs",
     "stablehlo.negate", "stablehlo.clamp", "stablehlo.floor",
     "stablehlo.select", "stablehlo.compare",
+    # int8 PTQ artifacts (podtpu/export/quantize.py): quantize/dequantize
+    "stablehlo.round_nearest_even",
 })
 
 

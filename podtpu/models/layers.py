@@ -76,7 +76,17 @@ class BatchNormMixed(nn.Module):
 
 
 class ConvBnAct(nn.Module):
-    """Conv2d(pad=(k-1)//2, bias=False) + BatchNorm + activation."""
+    """Conv2d(pad=(k-1)//2, bias=False) + BatchNorm + activation.
+
+    Serving-time int8: when a ``quant`` collection entry exists for this
+    block (built by :mod:`podtpu.export.quantize` from calibration stats),
+    the convolution runs int8 x int8 -> int32 on the MXU — input quantized
+    with the calibrated activation scale, kernel with its per-output-channel
+    scale — then dequantizes into the f32 BN affine. Training and float
+    serving are untouched (the branch is a trace-time constant). During
+    calibration (``mutable=['quant_stats']``) each block sows the abs-max of
+    its input activations.
+    """
 
     features: int
     kernel_size: int = 3
@@ -87,16 +97,38 @@ class ConvBnAct(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = (self.kernel_size - 1) // 2
-        x = nn.Conv(
-            self.features,
-            (self.kernel_size, self.kernel_size),
-            strides=(self.strides, self.strides),
-            padding=((p, p), (p, p)),
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
+        pad = ((p, p), (p, p))
+        if not self.is_initializing():
+            self.sow("quant_stats", "x_absmax", jnp.max(jnp.abs(x)),
+                     init_fn=lambda: jnp.zeros((), jnp.float32),
+                     reduce_fn=jnp.maximum)
+        if self.has_variable("quant", "w_int8"):
+            w_int8 = self.get_variable("quant", "w_int8")
+            w_scale = self.get_variable("quant", "w_scale")  # [Cout]
+            x_scale = self.get_variable("quant", "x_scale")  # []
+            x_int8 = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / x_scale), -127, 127
+            ).astype(jnp.int8)
+            acc = jax.lax.conv_general_dilated(
+                x_int8, w_int8,
+                window_strides=(self.strides, self.strides),
+                padding=pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            x = acc.astype(jnp.float32) * (x_scale * w_scale)
+            x = x.astype(self.dtype)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel_size, self.kernel_size),
+                strides=(self.strides, self.strides),
+                padding=pad,
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="conv",
+            )(x)
         x = BatchNormMixed(dtype=self.dtype, name="bn")(x, train)
         if self.act is not None:
             x = self.act(x)
