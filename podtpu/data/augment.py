@@ -346,6 +346,56 @@ def cutout(im: np.ndarray, boxes: np.ndarray, rng: np.random.Generator,
     return im, boxes
 
 
+def hist_equalize(im: np.ndarray, use_clahe: bool = True) -> np.ndarray:
+    """Y-channel histogram equalization in YUV space.
+
+    Dormant-variant parity with the reference's ``hist_equalize``
+    (dataset/detection/augmentations.py:63-71): equalize only luma (CLAHE
+    clip 2.0 / 8x8 tiles, or global equalizeHist), leave chroma untouched.
+    RGB in, RGB out.
+    """
+    yuv = cv2.cvtColor(im, cv2.COLOR_RGB2YUV)
+    if use_clahe:
+        op = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8))
+        yuv[:, :, 0] = op.apply(yuv[:, :, 0])
+    else:
+        yuv[:, :, 0] = cv2.equalizeHist(yuv[:, :, 0])
+    return cv2.cvtColor(yuv, cv2.COLOR_YUV2RGB)
+
+
+def replicate(im: np.ndarray, boxes: np.ndarray,
+              rng: np.random.Generator):
+    """Duplicate the smaller half of the boxes at random free offsets.
+
+    Dormant-variant parity with the reference's ``replicate``
+    (dataset/detection/augmentations.py:74-88): the half of the labels with
+    the smallest mean side length are copied — pixels pasted at a uniformly
+    random in-bounds offset, a new label row appended per copy. Boxes here
+    are ``[cls, x1, y1, x2, y2]`` pixel rows (the letterbox-pipeline
+    mid-format the reference uses at this stage).
+    """
+    if boxes.shape[0] == 0:
+        return im, boxes
+    h, w = im.shape[:2]
+    xyxy = boxes[:, 1:].astype(int)
+    x1, y1, x2, y2 = xyxy.T
+    side = ((x2 - x1) + (y2 - y1)) / 2
+    new_rows = []
+    for i in side.argsort()[: round(side.size * 0.5)]:
+        x1b, y1b, x2b, y2b = xyxy[i]
+        bh, bw = y2b - y1b, x2b - x1b
+        if bh <= 0 or bw <= 0 or bh >= h or bw >= w:
+            continue
+        yc = int(rng.uniform(0, h - bh))
+        xc = int(rng.uniform(0, w - bw))
+        im[yc:yc + bh, xc:xc + bw] = im[y1b:y2b, x1b:x2b]
+        new_rows.append([boxes[i, 0], xc, yc, xc + bw, yc + bh])
+    if new_rows:
+        boxes = np.concatenate(
+            [boxes, np.asarray(new_rows, boxes.dtype)], axis=0)
+    return im, boxes
+
+
 def hflip(im: np.ndarray, boxes: np.ndarray):
     """Horizontal flip; boxes normalized [cx, cy, w, h, cls]."""
     im = np.ascontiguousarray(im[:, ::-1])

@@ -412,3 +412,49 @@ def test_train_step_accepts_uint8():
     _, m_u = step(state, u8_batch, rng)
     # uint8 path quantizes to 1/255 steps; losses must be close
     assert abs(float(m_f["loss"]) - float(m_u["loss"])) / float(m_f["loss"]) < 0.05
+
+
+def test_hist_equalize_luma_only():
+    """Dormant parity (augmentations.py:63-71): Y is equalized, chroma kept."""
+    from podtpu.data.augment import hist_equalize
+
+    rng = np.random.default_rng(0)
+    im = rng.integers(40, 90, (64, 64, 3), dtype=np.uint8)  # low contrast
+    for use_clahe in (True, False):
+        out = hist_equalize(im.copy(), use_clahe=use_clahe)
+        assert out.shape == im.shape and out.dtype == np.uint8
+        # luma got stretched
+        import cv2
+        y_in = cv2.cvtColor(im, cv2.COLOR_RGB2YUV)[:, :, 0]
+        y_out = cv2.cvtColor(out, cv2.COLOR_RGB2YUV)[:, :, 0]
+        assert np.ptp(y_out) > np.ptp(y_in)
+
+
+def test_replicate_appends_smallest_half():
+    """Dormant parity (augmentations.py:74-88): half the boxes (smallest
+    side) are duplicated with new label rows, pixels really pasted."""
+    from podtpu.data.augment import replicate
+
+    rng = np.random.default_rng(1)
+    im = np.zeros((100, 100, 3), np.uint8)
+    im[10:20, 10:30] = 200  # box 0 contents
+    boxes = np.array([
+        [0, 10, 10, 30, 20],   # small -> replicated
+        [1, 40, 40, 95, 95],   # large
+    ], np.float32)
+    out_im, out_boxes = replicate(im.copy(), boxes.copy(), rng)
+    assert out_boxes.shape[0] == 3
+    new = out_boxes[2]
+    assert new[0] == 0  # class copied from the small box
+    x1, y1, x2, y2 = new[1:].astype(int)
+    assert (x2 - x1, y2 - y1) == (20, 10)
+    np.testing.assert_array_equal(out_im[y1:y2, x1:x2], im[10:20, 10:30])
+
+
+def test_replicate_empty_boxes_noop():
+    from podtpu.data.augment import replicate
+
+    im = np.zeros((32, 32, 3), np.uint8)
+    boxes = np.zeros((0, 5), np.float32)
+    out_im, out_boxes = replicate(im, boxes, np.random.default_rng(0))
+    assert out_boxes.shape == (0, 5)
