@@ -80,6 +80,11 @@ def main():
                     help="static PTQ for the artifact (int8 convs)")
     ap.add_argument("--calib-batches", type=int, default=8,
                     help="calibration batches for --quantize")
+    ap.add_argument("--platforms", type=str, default="cpu,tpu",
+                    help="comma-separated export targets; a single platform "
+                         "freezes the artifact for one deployment target "
+                         "(required for --validate-npu: multi-platform "
+                         "dispatch uses off-whitelist stablehlo.case)")
     ap.add_argument("--platform", type=str, default=None,
                     help="pin JAX backend (e.g. cpu) for local runs")
     args = ap.parse_args()
@@ -105,12 +110,15 @@ def main():
             model, variables,
             _calibration_batches(cfg, shape, args.calib_batches))
         print(f"int8 PTQ: calibrated on {args.calib_batches} batches")
+    platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
     if args.with_postprocess:
         from podtpu.export.stablehlo import export_serving
 
-        path = export_serving(model, variables, cfg, shape, args.out)
+        path = export_serving(model, variables, cfg, shape, args.out,
+                              platforms=platforms)
     else:
-        path = export_stablehlo(model, variables, shape, args.out)
+        path = export_stablehlo(model, variables, shape, args.out,
+                                platforms=platforms)
     print(f"exported to {path}")
     if args.annotate:
         from podtpu.export.npu import annotate_for_npu

@@ -34,13 +34,19 @@ def main():
     # parse "float32[1,416,416,3]"-style aval
     dims = [int(d) for d in shape_str.split("[")[1].rstrip("]").split(",")]
     x = np.random.default_rng(0).uniform(0, 1, dims).astype(np.float32)
+    # measure device compute, not host->device transfer (which dominates
+    # over the remote-TPU tunnel): ship the batch once
+    x = jax.device_put(x)
 
     out = fn(x)  # compile
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = fn(x)
-    jax.block_until_ready(out)
+    jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
+    # device_get forces a real round trip — block_until_ready alone has
+    # been observed returning early over the remote-TPU tunnel
+    jax.device_get(out)
     dt = time.perf_counter() - t0
     fps = args.iters * dims[0] / dt
     print(f"avg latency: {1000 * dt / args.iters:.2f} ms  |  {fps:.1f} FPS")

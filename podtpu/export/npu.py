@@ -94,7 +94,12 @@ _TAGGED_OPS = {
 def annotate_for_npu(path: str, out_json: str | None = None) -> dict:
     """Per-layer annotation map: ordered compute ops with sanitized names and
     ``layer_idx`` tags (the converter's attr-tagging role). Pool ops carry a
-    ``pool_at_pad`` flag when their MLIR carries window padding."""
+    ``pool_at_pad`` flag when their MLIR carries window padding.
+
+    Expects a SINGLE-platform artifact (``export_model.py --platforms cpu``):
+    multi-platform exports duplicate platform-divergent sites inside
+    ``stablehlo.case`` branches, which would double-count layers here and
+    fail :func:`validate_for_npu` anyway."""
     from jax import export as jexport
 
     with open(path, "rb") as f:

@@ -19,20 +19,28 @@ import jax.numpy as jnp
 from jax import export as jexport
 
 
-def export_forward(model, variables, input_shape, dtype=jnp.float32):
+PLATFORMS = ("cpu", "tpu")  # default: artifacts portable across backends
+
+
+def export_forward(model, variables, input_shape, dtype=jnp.float32,
+                   platforms=PLATFORMS):
     """Jit + export ``model.apply(variables, x, train=False)`` closed over
-    weights (like ONNX export_params=True)."""
+    weights (like ONNX export_params=True). Exported for ``platforms``
+    (default cpu+tpu, so an artifact produced on a CPU dev box runs on TPU
+    serving hosts); pass a single platform to freeze for one deployment
+    target — multi-platform artifacts carry ``stablehlo.case`` dispatch
+    that NPU validation rejects."""
 
     def forward(x):
         return model.apply(variables, x, train=False)
 
     x_spec = jax.ShapeDtypeStruct(input_shape, dtype)
-    return jexport.export(jax.jit(forward))(x_spec)
+    return jexport.export(jax.jit(forward), platforms=platforms)(x_spec)
 
 
 def export_stablehlo(model, variables, input_shape, path: str,
-                     dtype=jnp.float32) -> str:
-    exported = export_forward(model, variables, input_shape, dtype)
+                     dtype=jnp.float32, platforms=PLATFORMS) -> str:
+    exported = export_forward(model, variables, input_shape, dtype, platforms)
     data = exported.serialize()
     with open(path, "wb") as f:
         f.write(data)
@@ -40,7 +48,7 @@ def export_stablehlo(model, variables, input_shape, path: str,
 
 
 def export_serving(model, variables, cfg: dict, input_shape, path: str,
-                   dtype=jnp.float32) -> str:
+                   dtype=jnp.float32, platforms=PLATFORMS) -> str:
     """Export the full deployment unit: forward + decode + padded NMS.
 
     The reference's deployable graph is ``DecodeYoloVx`` — model + decode +
@@ -64,7 +72,7 @@ def export_serving(model, variables, cfg: dict, input_shape, path: str,
                                        max_detections=max_det)
 
     x_spec = jax.ShapeDtypeStruct(input_shape, dtype)
-    exported = jexport.export(jax.jit(serve))(x_spec)
+    exported = jexport.export(jax.jit(serve), platforms=platforms)(x_spec)
     with open(path, "wb") as f:
         f.write(exported.serialize())
     return path

@@ -171,7 +171,26 @@ class V4TinyBlock(nn.Module):
 
 
 def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
-    """torch MaxPool2d(2, 2) == VALID 2x2/2 pooling (floor division)."""
+    """torch MaxPool2d(2, 2) == VALID 2x2/2 pooling (floor division).
+
+    Two lowerings, selected by env ``PODTPU_POOL``:
+
+    * ``window`` (default): ``reduce_window`` — XLA's native pooling; its
+      backward is ``select_and_scatter`` (first-match, torch-identical).
+    * ``reshape``: non-overlapping 2x2/2 expressed as reshape + max-reduce,
+      which XLA *can* fuse into the producing elementwise epilogue
+      (reduce_window is a fusion boundary), trading a separate full-tensor
+      read for a tie-splitting backward. Forward outputs are identical.
+    """
+    import os
+
+    if os.environ.get("PODTPU_POOL", "window") == "reshape":
+        b, h, w, c = x.shape
+        he, we = (h // 2) * 2, (w // 2) * 2
+        if (he, we) != (h, w):
+            x = x[:, :he, :we, :]
+        x = x.reshape(b, he // 2, 2, we // 2, 2, c)
+        return jnp.max(x, axis=(2, 4))
     return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2), padding="VALID")
 
 

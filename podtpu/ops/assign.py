@@ -282,12 +282,15 @@ class Yolov1Targets(NamedTuple):
 
 
 def encode_yolov1_targets(
-    target: jnp.ndarray, num_classes: int, grid_size: int = 7
+    target: jnp.ndarray, num_classes: int, grid_size: int = 7,
+    backend: str | None = None,
 ) -> Yolov1Targets:
     """YOLOv1 grid encoding: first GT per cell wins (yolov1_loss.py:130-144).
 
     w/h targets stay normalized to the image (the reference stores
-    ``target[b, t, 2:4]`` raw: yolov1_loss.py:143).
+    ``target[b, t, 2:4]`` raw: yolov1_loss.py:143). ``backend`` as in
+    :func:`encode_anchor_targets`; the dense form is a MIN-reduce of the
+    annotation order (first write wins, not last).
     """
     target = target.astype(jnp.float32)
     b, t, _ = target.shape
@@ -305,6 +308,24 @@ def encode_yolov1_targets(
         axis=-1,
     )
     tcls_gt = jax.nn.one_hot(cid, num_classes, dtype=jnp.float32)
+
+    if (backend or _default_backend()) == "dense":
+        n_slots = s * s
+        cell = gj * s + gi                                     # [B, T]
+        order = jnp.where(
+            valid, jnp.arange(1, t + 1, dtype=jnp.int32)[None, :], t + 1)
+        eq = cell[:, :, None] == jnp.arange(n_slots, dtype=jnp.int32)
+        winner = jnp.min(jnp.where(eq, order[:, :, None], t + 1), axis=1)
+        mask_flat = (winner <= t).astype(jnp.float32)          # [B, S*S]
+        idx = jnp.clip(winner - 1, 0, t - 1)
+        feats = jnp.concatenate([tbox_gt, tcls_gt], axis=-1)   # [B, T, 4+C]
+        vals = jnp.take_along_axis(feats, idx[:, :, None], axis=1)
+        vals = vals * mask_flat[:, :, None]
+        return Yolov1Targets(
+            mask=mask_flat.reshape(b, s, s),
+            tbox=vals[..., :4].reshape(b, s, s, 4),
+            tcls=vals[..., 4:].reshape(b, s, s, num_classes),
+        )
 
     init = Yolov1Targets(
         mask=jnp.zeros((b, s, s), jnp.float32),

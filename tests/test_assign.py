@@ -149,11 +149,12 @@ def test_v3_label_smoothing_values(backend):
     assert np.all(row[np.arange(C) != 3] == np.float32(0.005))
 
 
-def test_v1_first_gt_wins():
+@pytest.mark.parametrize("backend", ["scan", "dense"])
+def test_v1_first_gt_wins(backend):
     target = -np.ones((1, 3, 5), np.float32)
     target[0, 0] = [0.5, 0.5, 0.2, 0.2, 4]
     target[0, 1] = [0.51, 0.51, 0.3, 0.3, 9]  # same cell, must be ignored
-    got = encode_yolov1_targets(target, C, 7)
+    got = encode_yolov1_targets(target, C, 7, backend=backend)
     assert np.asarray(got.mask)[0, 3, 3] == 1.0
     assert np.asarray(got.tcls)[0, 3, 3, 4] == 1.0
     assert np.asarray(got.tcls)[0, 3, 3, 9] == 0.0
@@ -161,9 +162,10 @@ def test_v1_first_gt_wins():
     np.testing.assert_allclose(np.asarray(got.tbox)[0, 3, 3, 2:], [0.2, 0.2], atol=1e-6)
 
 
-def test_v1_assignment_random():
+@pytest.mark.parametrize("backend", ["scan", "dense"])
+def test_v1_assignment_random(backend):
     target = make_targets(4, 9, C, seed=5)
-    got = encode_yolov1_targets(target, C, 7)
+    got = encode_yolov1_targets(target, C, 7, backend=backend)
     # oracle: first GT per cell
     b = target.shape[0]
     mask = np.zeros((b, 7, 7), np.float32)

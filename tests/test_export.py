@@ -53,6 +53,8 @@ def test_inspect_exported(model_and_vars, tmp_path):
     info = inspect_exported(path)
     assert "stablehlo.convolution" in info["ops"]
     assert info["in_avals"][0].startswith("float32[1,64,64,3]")
+    # default export is portable across both backends
+    assert set(info["platforms"]) == {"cpu", "tpu"}
 
 
 def test_serving_export_matches_eval_step(model_and_vars, tmp_path):
@@ -130,12 +132,16 @@ def test_npu_validation_pass_and_fail(model_and_vars, tmp_path):
 
     model, variables, _ = model_and_vars
     fwd = str(tmp_path / "fwd.stablehlo")
-    export_stablehlo(model, variables, (1, 64, 64, 3), fwd)
+    # NPU artifacts are frozen to ONE target: multi-platform export wraps
+    # platform-divergent sites in stablehlo.case, which is off-whitelist.
+    export_stablehlo(model, variables, (1, 64, 64, 3), fwd,
+                     platforms=("cpu",))
     report = validate_for_npu(fwd)  # forward graph: all ops whitelisted
     assert report["ok"] and not report["unsupported"]
 
     srv = str(tmp_path / "serve.stablehlo")
-    export_serving(model, variables, CFG, (1, 64, 64, 3), srv)
+    export_serving(model, variables, CFG, (1, 64, 64, 3), srv,
+                   platforms=("cpu",))
     with pytest.raises(NPUValidationError) as ei:
         validate_for_npu(srv)  # NMS control flow is off-whitelist
     assert "stablehlo.while" in ei.value.unsupported
