@@ -138,11 +138,16 @@ def make_stats_step(cfg: dict, mesh=None, momentum: float = 0.9):
     )
 
 
-def make_eval_step(cfg: dict, mesh=None):
+def make_eval_step(cfg: dict, mesh=None, extra_variables: dict | None = None):
     """Build the jitted eval step: loss + decoded, NMS'd detections.
 
     Returns ``(loss, detections [B, max_det, 6], valid [B, max_det])`` —
     detections in input-pixel cxcywh + conf + class, score-sorted.
+
+    ``extra_variables`` merges additional collections into ``apply`` — e.g.
+    the ``quant`` collection from :mod:`podtpu.export.quantize`, which flips
+    every ConvBnAct to its int8 path (quantized evaluation / test.py
+    --quantize int8). They are closed over, i.e. compiled in as constants.
     """
     loss_fn = build_loss(cfg)
     decoder = make_decoder(cfg)
@@ -152,8 +157,11 @@ def make_eval_step(cfg: dict, mesh=None):
     max_det = int(cfg.get("max_detections", 100))
 
     def eval_step(state, batch):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if extra_variables:
+            variables.update(extra_variables)
         preds = state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
+            variables,
             _as_input(batch["img"]),
             train=False,
         )

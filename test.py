@@ -13,7 +13,8 @@ from podtpu.data import Loader, build_datasets
 from podtpu.train.trainer import Trainer, restore_weights
 
 
-def evaluate(cfg: dict, ckpt: str | None, report_dir: str | None = None) -> dict:
+def evaluate(cfg: dict, ckpt: str | None, report_dir: str | None = None,
+             quantize: str | None = None, calib_batches: int = 4) -> dict:
     _, val_ds = build_datasets(cfg)
     val_loader = Loader(
         val_ds,
@@ -25,6 +26,29 @@ def evaluate(cfg: dict, ckpt: str | None, report_dir: str | None = None) -> dict
     trainer = Trainer(cfg, eval_only=True)
     if ckpt:
         trainer.state = restore_weights(ckpt, trainer.state)
+    if quantize == "int8":
+        # static PTQ eval: calibrate on val batches, rebuild the eval step
+        # with the quant collection (ConvBnAct switches to int8 convs)
+        import numpy as np
+
+        from podtpu.export.quantize import quantize_for_serving
+        from podtpu.models import build_model
+        from podtpu.train.steps import make_eval_step
+
+        calib = []
+        for batch in val_loader:
+            x = np.asarray(batch["img"])
+            if x.dtype == np.uint8:
+                x = x.astype(np.float32) / 255.0
+            calib.append(x)
+            if len(calib) >= calib_batches:
+                break
+        variables = {"params": trainer.state.params,
+                     "batch_stats": trainer.state.batch_stats}
+        qvars = quantize_for_serving(build_model(cfg), variables, calib)
+        trainer.eval_step = make_eval_step(
+            cfg, trainer.mesh, extra_variables={"quant": qvars["quant"]})
+        print(f"int8 PTQ eval (calibrated on {len(calib)} val batches)")
     result = trainer.validate(val_loader)
     print(f"val_loss: {result['val_loss']:.5f}")
     print(f"val_mAP: {result['val_mAP']:.5f}")
@@ -51,11 +75,16 @@ def main():
     ap.add_argument("--report", type=str, default=None,
                     help="write per-class AP table + PR curves + confusion "
                          "matrix to this directory")
+    ap.add_argument("--quantize", type=str, default=None, choices=["int8"],
+                    help="evaluate the int8-PTQ model (accuracy-delta check "
+                         "for the quantized serving artifact)")
+    ap.add_argument("--calib-batches", type=int, default=4)
     ap.add_argument("--platform", type=str, default=None,
                     help="pin JAX backend (e.g. cpu) for local runs")
     args = ap.parse_args()
     setup_platform(args.platform)
-    evaluate(get_configs(args.cfg), args.ckpt, args.report)
+    evaluate(get_configs(args.cfg), args.ckpt, args.report,
+             quantize=args.quantize, calib_batches=args.calib_batches)
 
 
 if __name__ == "__main__":

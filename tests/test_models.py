@@ -90,3 +90,31 @@ def test_stride2_conv_matches_torch_geometry():
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
     out = model.apply(variables, x, train=False)
     assert out.shape == (1, 208, 208, 8)
+
+
+def test_pool_variants_forward_and_grad_match():
+    """PODTPU_POOL=reshape must match reduce_window pooling exactly on
+    tie-free input (forward always; backward when no 2x2 window has
+    duplicated maxima — measure-zero for random floats)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from podtpu.models import layers
+
+    x = jnp.asarray(np.random.default_rng(7).normal(
+        size=(2, 16, 16, 8)).astype(np.float32))
+
+    def run(mode):
+        os.environ["PODTPU_POOL"] = mode
+        try:
+            f = lambda a: jnp.sum(layers.max_pool_2x2(a) ** 2)
+            return layers.max_pool_2x2(x), jax.grad(f)(x)
+        finally:
+            os.environ.pop("PODTPU_POOL", None)
+
+    y_w, g_w = run("window")
+    y_r, g_r = run("reshape")
+    np.testing.assert_array_equal(np.asarray(y_w), np.asarray(y_r))
+    np.testing.assert_allclose(np.asarray(g_w), np.asarray(g_r), atol=1e-6)
