@@ -41,7 +41,10 @@ def calibrate(model, variables, batches: Iterable) -> dict:
     """Run calibration batches; return the merged ``quant_stats`` tree.
 
     ``batches`` yields input image batches (same layout as serving inputs).
-    Per-batch abs-max trees are max-merged on the host.
+    Per-batch abs-max trees are max-merged on the host. Abs-max (not a
+    percentile) keeps the ReLU-bounded YOLO activations exact at the top of
+    the range; if a future model family shows outlier-dominated scales,
+    sow a per-block histogram instead.
     """
     run = jax.jit(
         lambda v, x: model.apply(v, x, train=False, mutable=["quant_stats"])[1]
