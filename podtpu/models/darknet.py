@@ -63,12 +63,24 @@ class Darknet19(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from podtpu.models.stem import FusedStemPool, stem_fusable
+
         # static_argnums: `train` is a python bool, not a tracer
         stage_cls = (nn.remat(_Stage, static_argnums=(2,))
                      if self.remat else _Stage)
+        # Train-mode fast path (PODTPU_STEM=fused): stage0's conv+BN+ReLU and
+        # layer1's leading pool run as one Pallas kernel that never
+        # materializes the full-resolution stem activation. Param tree and
+        # numerics match the stock path (podtpu/models/stem.py).
+        fuse_stem = stem_fusable(x, train, self.out_indices)
         feats = []
         for i, cfg in enumerate(STAGE_CFGS):
-            x = stage_cls(cfg, dtype=self.dtype, name=f"stage{i}")(x, train)
+            if fuse_stem and i == 0:
+                x = FusedStemPool(STAGE_CHANNELS[0], dtype=self.dtype,
+                                  name="stage0")(x, train)
+                continue
+            cfg_i = cfg[1:] if (fuse_stem and i == 1) else cfg
+            x = stage_cls(cfg_i, dtype=self.dtype, name=f"stage{i}")(x, train)
             if i in self.out_indices:
                 feats.append(x)
         return feats
