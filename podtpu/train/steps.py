@@ -25,6 +25,36 @@ from podtpu.ops.nms import batched_class_aware_nms
 from podtpu.parallel.mesh import batch_sharding, replicated_sharding
 
 
+def compiler_options(cfg: dict) -> dict | None:
+    """XLA:TPU compiler options for the jitted steps.
+
+    Sources (merged, env wins): a TPU-only measured default, the cfg
+    ``xla_compiler_options`` mapping, then ``PODTPU_XLA_OPTS`` env as
+    comma-separated ``flag=value`` pairs. These reach the TPU compiler
+    per-program via ``jax.jit(compiler_options=...)`` (client-side
+    XLA_FLAGS rejects tpu-only flags).
+
+    Default: ``xla_tpu_scoped_vmem_limit_kib=32768`` — raising the fusion
+    scoped-VMEM budget from 16 MB to 32 MB measured 984 vs 974 img/s on the
+    batch-128 flagship step (v5e; 64 MB neutral, 96 MB -9%). Override via
+    cfg or ``PODTPU_XLA_OPTS=xla_tpu_scoped_vmem_limit_kib=16384``.
+    TPU-only flags are dropped on other backends (CPU tests).
+    """
+    import os
+
+    on_tpu = jax.default_backend() == "tpu"
+    opts = {"xla_tpu_scoped_vmem_limit_kib": 32768} if on_tpu else {}
+    opts.update(cfg.get("xla_compiler_options") or {})
+    for kv in os.environ.get("PODTPU_XLA_OPTS", "").split(","):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            opts[k.strip()] = v.strip()
+    if not on_tpu:
+        opts = {k: v for k, v in opts.items()
+                if not k.startswith("xla_tpu")}
+    return {k: str(v) for k, v in opts.items()} or None
+
+
 def _as_input(img: jnp.ndarray) -> jnp.ndarray:
     """Accept uint8 batches (host ships raw bytes; 4x less H2D) or
     pre-normalized floats."""
@@ -89,8 +119,10 @@ def make_train_step(cfg: dict, mesh=None, donate: bool = True):
         metrics = {"loss": loss}
         return new_state, metrics
 
+    opts = compiler_options(cfg)
     if mesh is None:
-        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+        return jax.jit(train_step, donate_argnums=(0,) if donate else (),
+                       compiler_options=opts)
 
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
@@ -99,6 +131,7 @@ def make_train_step(cfg: dict, mesh=None, donate: bool = True):
         in_shardings=(repl, {"img": data, "annot": data}, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),
+        compiler_options=opts,
     )
 
 
@@ -156,6 +189,8 @@ def make_eval_step(cfg: dict, mesh=None, extra_variables: dict | None = None):
     top_k = int(cfg.get("top_k_candidates", 512))
     max_det = int(cfg.get("max_detections", 100))
 
+    opts = compiler_options(cfg)
+
     def eval_step(state, batch):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         if extra_variables:
@@ -173,7 +208,7 @@ def make_eval_step(cfg: dict, mesh=None, extra_variables: dict | None = None):
         return loss, dets, valid
 
     if mesh is None:
-        return jax.jit(eval_step)
+        return jax.jit(eval_step, compiler_options=opts)
 
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
@@ -181,6 +216,7 @@ def make_eval_step(cfg: dict, mesh=None, extra_variables: dict | None = None):
         eval_step,
         in_shardings=(repl, {"img": data, "annot": data}),
         out_shardings=(repl, data, data),
+        compiler_options=opts,
     )
 
 
