@@ -20,7 +20,14 @@ def compute_dtype(cfg: dict):
 
 
 def build_model(cfg: dict):
-    """Instantiate the detector named by ``cfg['model']``."""
+    """Instantiate the detector named by ``cfg['model']``.
+
+    ``qat: true`` flips every ConvBnAct to fake-quantized train-mode
+    forward (straight-through int8 QAT; see podtpu/models/layers.py).
+    """
+    from podtpu.models.layers import set_qat_default
+
+    set_qat_default(bool(cfg.get("qat", False)))
     name = cfg["model"]
     dtype = compute_dtype(cfg)
     num_classes = cfg["num_classes"]

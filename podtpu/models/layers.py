@@ -75,6 +75,57 @@ class BatchNormMixed(nn.Module):
         return x.astype(self.dtype) * mul + add
 
 
+_QAT_DEFAULT = False
+
+
+def set_qat_default(enabled: bool) -> None:
+    """Global QAT toggle, set by the model factory from cfg ``qat: true``.
+
+    A module attribute would have to be threaded through every detector
+    definition; the factory-level default keeps the model code unchanged
+    while ``ConvBnAct(qat=...)`` can still override per-block.
+    """
+    global _QAT_DEFAULT
+    _QAT_DEFAULT = bool(enabled)
+
+
+class _KernelParam(nn.Module):
+    """Holds a conv kernel param under nn.Conv's name/init so the QAT
+    branch can fake-quantize it before the conv (same trick as
+    podtpu/models/stem.py; checkpoint-compatible either way)."""
+
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, self.kernel_size, in_ch, self.features),
+            jnp.float32,
+        )
+
+
+def _fake_quant(x: jnp.ndarray, axis=None) -> jnp.ndarray:
+    """Symmetric int8 fake quantization with a straight-through estimator.
+
+    ``axis=None`` -> per-tensor (activations); an axis tuple -> the scale
+    reduces over those dims (per-output-channel weights). The scale is the
+    current abs-max (matching the PTQ calibration scheme in
+    podtpu/export/quantize.py), detached so only the STE path carries
+    gradient: ``x + sg(q(x) - x)``. Math runs in f32 so round/clip are
+    exact regardless of compute dtype.
+    """
+    x32 = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x32)) if axis is None else jnp.max(
+        jnp.abs(x32), axis=axis, keepdims=True)
+    scale = jax.lax.stop_gradient(
+        jnp.where(absmax > 0, absmax, 1.0) / 127.0)
+    q = jnp.clip(jnp.round(x32 / scale), -127, 127) * scale
+    return (x32 + jax.lax.stop_gradient(q - x32)).astype(x.dtype)
+
+
 class ConvBnAct(nn.Module):
     """Conv2d(pad=(k-1)//2, bias=False) + BatchNorm + activation.
 
@@ -86,6 +137,13 @@ class ConvBnAct(nn.Module):
     serving are untouched (the branch is a trace-time constant). During
     calibration (``mutable=['quant_stats']``) each block sows the abs-max of
     its input activations.
+
+    QAT (cfg ``qat: true`` -> :func:`set_qat_default`, or ``qat=True``):
+    train-mode forward fake-quantizes the input per-tensor and the kernel
+    per-output-channel with straight-through gradients — the same symmetric
+    abs-max scheme the int8 serving path uses, so PTQ of a QAT-trained
+    model sees activations/weights already shaped to the int8 grid. The
+    param tree, eval path, and export path are unchanged.
     """
 
     features: int
@@ -93,11 +151,13 @@ class ConvBnAct(nn.Module):
     strides: int = 1
     act: Callable | None = nn.relu  # None => linear (Conv2dBn)
     dtype: jnp.dtype = jnp.float32
+    qat: bool | None = None  # None => the factory-set global default
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = (self.kernel_size - 1) // 2
         pad = ((p, p), (p, p))
+        qat = self.qat if self.qat is not None else _QAT_DEFAULT
         if not self.is_initializing():
             self.sow("quant_stats", "x_absmax", jnp.max(jnp.abs(x)),
                      init_fn=lambda: jnp.zeros((), jnp.float32),
@@ -118,6 +178,17 @@ class ConvBnAct(nn.Module):
             )
             x = acc.astype(jnp.float32) * (x_scale * w_scale)
             x = x.astype(self.dtype)
+        elif qat and train and not self.is_initializing():
+            kernel = _KernelParam(self.features, self.kernel_size,
+                                  name="conv")(x.shape[-1])
+            wq = _fake_quant(kernel, axis=(0, 1, 2)).astype(self.dtype)
+            xq = _fake_quant(x).astype(self.dtype)
+            x = jax.lax.conv_general_dilated(
+                xq, wq,
+                window_strides=(self.strides, self.strides),
+                padding=pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).astype(self.dtype)
         else:
             x = nn.Conv(
                 self.features,
