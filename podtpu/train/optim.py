@@ -57,7 +57,24 @@ def _add_flat_decayed_weights(weight_decay: float, coeff_vec) -> optax.GradientT
 
 
 def build_optimizer(cfg: dict, params) -> optax.GradientTransformation:
-    """Config -> optax transformation with the LR schedule baked in."""
+    """Config -> optax transformation with the LR schedule baked in.
+
+    ``optimizer_options.accum_steps: k`` wraps the whole chain in
+    ``optax.MultiSteps``: gradients average over k micro-batches and the
+    inner update (momentum, schedule step) fires every k-th call — an
+    effective batch of ``k * batch_size`` when HBM caps the physical batch.
+    Mean-loss gradients make the k-average exactly the big-batch gradient.
+    (BatchNorm still sees per-micro-batch statistics, the same deviation
+    any gradient-accumulation scheme has.)
+    """
+    tx = _build_optimizer(cfg, params)
+    accum = int(dict(cfg.get("optimizer_options", {})).get("accum_steps", 1))
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx
+
+
+def _build_optimizer(cfg: dict, params) -> optax.GradientTransformation:
     opts = dict(cfg.get("optimizer_options", {}))
     name = cfg.get("optimizer", "sgd")
     schedule = build_schedule(cfg)

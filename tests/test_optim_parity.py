@@ -75,3 +75,49 @@ def test_clip_grad_norm_engages():
     upd, _ = tx.update(big, state, params)
     norm = float(jnp.linalg.norm(upd["kernel"]))
     assert norm == pytest.approx(1.0, rel=1e-4)  # clipped to unit global norm
+
+
+def test_gradient_accumulation_matches_big_batch():
+    """accum_steps=k over k micro-batch mean-gradients must equal one SGD
+    step on the union batch (optax.MultiSteps averages, momentum/schedule
+    advance once per k micro-steps)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from podtpu.train.optim import build_optimizer
+
+    params = {"conv": {"kernel": jnp.ones((4,)) * 0.5},
+              "bn": {"scale": jnp.ones((4,))}}
+    base = dict(optimizer="sgd",
+                optimizer_options={"lr": 0.1, "momentum": 0.9,
+                                   "weight_decay": 1e-2},
+                scheduler="multi_step",
+                scheduler_options={"milestones": [1000], "gamma": 0.1})
+    r = np.random.default_rng(0)
+    g1 = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(r.normal(size=p.shape), jnp.float32), params)
+    g2 = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(r.normal(size=p.shape), jnp.float32), params)
+    gmean = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, g1, g2)
+
+    # big-batch reference: one step with the averaged gradient
+    tx_big = build_optimizer(base, params)
+    s = tx_big.init(params)
+    upd, _ = tx_big.update(gmean, s, params)
+    p_big = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
+
+    # accumulated: two micro-steps
+    cfg2 = dict(base)
+    cfg2["optimizer_options"] = {**base["optimizer_options"],
+                                 "accum_steps": 2}
+    tx_acc = build_optimizer(cfg2, params)
+    s = tx_acc.init(params)
+    p_acc = params
+    for g in (g1, g2):
+        upd, s = tx_acc.update(g, s, p_acc)
+        p_acc = jax.tree_util.tree_map(lambda p, u: p + u, p_acc, upd)
+
+    for a, b in zip(jax.tree_util.tree_leaves(p_big),
+                    jax.tree_util.tree_leaves(p_acc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
