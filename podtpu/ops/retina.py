@@ -52,10 +52,16 @@ def level_anchors(stride: int, h: int, w: int) -> jnp.ndarray:
 
 
 def all_anchors(input_size: int, strides: Sequence[int]) -> jnp.ndarray:
-    """[A_total, 4] anchors across the pyramid."""
+    """[A_total, 4] anchors across the pyramid.
+
+    Level sizes use CEILING division: each stride-2 conv in the backbone/
+    P6/P7 chain computes ``ceil(h/2)`` (k3 s2 pad1), and iterated ceil
+    halving equals ``ceil(input/stride)`` — floor division under-counts
+    P6/P7 whenever the input is not divisible by 128 (e.g. 64px: P7 is 1x1,
+    not 0x0)."""
     parts = []
     for s in strides:
-        hw = input_size // s
+        hw = -(-input_size // s)
         parts.append(level_anchors(s, hw, hw))
     return jnp.concatenate(parts, axis=0)
 

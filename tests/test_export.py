@@ -297,3 +297,46 @@ def test_npz_partial_load(tmp_path):
     state5 = create_train_state(cfg5, jax.random.PRNGKey(1))
     with pytest.raises(Exception):
         load_npz_weights(state5, path)  # strict must fail on shape mismatch
+
+
+@pytest.mark.parametrize("name,extra", [
+    ("yolov1", {"num_boxes": 2, "input_size": 64}),
+    ("yolov2", {"scaled_anchors": [[1.0, 1.5], [2.0, 2.0], [3.0, 4.0],
+                                   [4.5, 3.5], [5.0, 5.0]]}),
+    ("yolov3", {}),
+    ("retinanet", {}),
+])
+def test_serving_export_all_families(name, extra, tmp_path):
+    """Every model family exports the fwd+decode+NMS serving graph and the
+    artifact reproduces the in-process pipeline (yolov4-tiny covered by
+    test_serving_export_matches_eval_step)."""
+    from podtpu.export.stablehlo import export_serving
+    from podtpu.models import build_model
+    from podtpu.ops.nms import batched_class_aware_nms
+    from podtpu.train.steps import make_decoder
+
+    cfg = dict(CFG)
+    cfg["model"] = name
+    cfg.update(extra)
+    size = cfg["input_size"]
+    model = build_model(cfg)
+    x0 = jnp.zeros((1, size, size, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+
+    path = str(tmp_path / f"{name}.stablehlo")
+    export_serving(model, variables, cfg, (2, size, size, 3), path)
+    fn = load_exported(path)
+
+    x = np.random.default_rng(5).uniform(0, 1, (2, size, size, 3)).astype(
+        np.float32)
+    got_dets, got_valid = fn(jnp.asarray(x))
+
+    preds = model.apply(variables, jnp.asarray(x), train=False)
+    boxes = make_decoder(cfg)(preds)
+    want_dets, want_valid = batched_class_aware_nms(
+        boxes, cfg.get("conf_threshold", 0.25), 0.45,
+        top_k=512, max_detections=100)
+    np.testing.assert_array_equal(np.asarray(got_valid),
+                                  np.asarray(want_valid))
+    np.testing.assert_allclose(np.asarray(got_dets), np.asarray(want_dets),
+                               atol=1e-5)
