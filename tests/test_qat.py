@@ -99,6 +99,7 @@ def test_factory_cfg_flag_drives_default():
     assert layers._QAT_DEFAULT is False
 
 
+@pytest.mark.slow
 def test_qat_train_step_end_to_end():
     """Full jitted train step with qat: loss finite, params move, and the
     PTQ pipeline consumes the resulting model unchanged."""

@@ -104,6 +104,7 @@ def test_no_input_gradient_needed():
     assert not np.any(np.asarray(dx))
 
 
+@pytest.mark.slow
 class TestModuleIntegration:
     """Darknet19 with PODTPU_STEM=fused: identical param tree, matching
     forward/batch-stats, and the eval path untouched."""
