@@ -65,7 +65,9 @@ def build_optimizer(cfg: dict, params) -> optax.GradientTransformation:
     effective batch of ``k * batch_size`` when HBM caps the physical batch.
     Mean-loss gradients make the k-average exactly the big-batch gradient.
     (BatchNorm still sees per-micro-batch statistics, the same deviation
-    any gradient-accumulation scheme has.)
+    any gradient-accumulation scheme has; the Trainer's logged ``lr`` is
+    derived from the micro-step counter, so it reads k-ahead of the
+    schedule the optimizer actually applies.)
     """
     tx = _build_optimizer(cfg, params)
     accum = int(dict(cfg.get("optimizer_options", {})).get("accum_steps", 1))
