@@ -32,6 +32,7 @@ STAGE_CHANNELS = (32, 64, 128, 256, 512, 1024)
 class _Stage(nn.Module):
     cfg: tuple
     dtype: jnp.dtype = jnp.float32
+    qat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -41,9 +42,8 @@ class _Stage(nn.Module):
                 x = max_pool_2x2(x)
             else:
                 out_ch, k = entry
-                x = ConvBnAct(out_ch, k, dtype=self.dtype, name=f"conv{conv_idx}")(
-                    x, train
-                )
+                x = ConvBnAct(out_ch, k, dtype=self.dtype, qat=self.qat,
+                              name=f"conv{conv_idx}")(x, train)
                 conv_idx += 1
         return x
 
@@ -60,6 +60,7 @@ class Darknet19(nn.Module):
     out_indices: Sequence[int] = (5,)
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    qat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -72,7 +73,9 @@ class Darknet19(nn.Module):
         # layer1's leading pool run as one Pallas kernel that never
         # materializes the full-resolution stem activation. Param tree and
         # numerics match the stock path (podtpu/models/stem.py).
-        fuse_stem = stem_fusable(x, train, self.out_indices)
+        # the fused stem has no fake-quant branch; under QAT keep the
+        # stock path so every ConvBnAct trains on the int8 grid
+        fuse_stem = stem_fusable(x, train, self.out_indices) and not self.qat
         feats = []
         for i, cfg in enumerate(STAGE_CFGS):
             if fuse_stem and i == 0:
@@ -80,7 +83,8 @@ class Darknet19(nn.Module):
                                   name="stage0")(x, train)
                 continue
             cfg_i = cfg[1:] if (fuse_stem and i == 1) else cfg
-            x = stage_cls(cfg_i, dtype=self.dtype, name=f"stage{i}")(x, train)
+            x = stage_cls(cfg_i, dtype=self.dtype, qat=self.qat,
+                          name=f"stage{i}")(x, train)
             if i in self.out_indices:
                 feats.append(x)
         return feats
@@ -91,10 +95,12 @@ class Darknet19Classifier(nn.Module):
 
     num_classes: int = 1000
     dtype: jnp.dtype = jnp.float32
+    qat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = Darknet19(out_indices=(5,), dtype=self.dtype, name="backbone")(x, train)[0]
+        x = Darknet19(out_indices=(5,), dtype=self.dtype, qat=self.qat,
+                      name="backbone")(x, train)[0]
         x = nn.Dropout(0.5, deterministic=not train)(x)
         x = ConvBnAct(self.num_classes, 1, dtype=self.dtype, name="classifier")(x, train)
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # global average pool

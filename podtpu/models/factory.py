@@ -23,33 +23,36 @@ def build_model(cfg: dict):
     """Instantiate the detector named by ``cfg['model']``.
 
     ``qat: true`` flips every ConvBnAct to fake-quantized train-mode
-    forward (straight-through int8 QAT; see podtpu/models/layers.py).
+    forward (straight-through int8 QAT; see podtpu/models/layers.py) —
+    threaded explicitly through the module tree, so models built with
+    different qat settings coexist in one process.
     """
-    from podtpu.models.layers import set_qat_default
-
-    set_qat_default(bool(cfg.get("qat", False)))
     name = cfg["model"]
     dtype = compute_dtype(cfg)
+    qat = bool(cfg.get("qat", False))
     num_classes = cfg["num_classes"]
     if name == "yolov1":
-        return YoloV1(num_classes=num_classes, num_boxes=cfg["num_boxes"], dtype=dtype)
+        return YoloV1(num_classes=num_classes, num_boxes=cfg["num_boxes"],
+                      dtype=dtype, qat=qat)
     if name == "yolov2":
         return YoloV2(
             num_classes=num_classes,
             num_anchors=len(cfg["scaled_anchors"]),
-            dtype=dtype,
+            dtype=dtype, qat=qat,
         )
     if name == "yolov3":
         return YoloV3(
             num_classes=num_classes, num_anchors=len(cfg["anchors"]),
             dtype=dtype, remat=bool(cfg.get("remat_backbone", False)),
+            qat=qat,
         )
     if name == "yolov4-tiny":
         return YoloV4Tiny(
-            num_classes=num_classes, num_anchors=len(cfg["anchors"]), dtype=dtype
+            num_classes=num_classes, num_anchors=len(cfg["anchors"]),
+            dtype=dtype, qat=qat,
         )
     if name == "retinanet":
         from podtpu.models.retinanet import RetinaNet
 
-        return RetinaNet(num_classes=num_classes, dtype=dtype)
+        return RetinaNet(num_classes=num_classes, dtype=dtype, qat=qat)
     raise ValueError(f"unknown model '{name}'")

@@ -75,20 +75,6 @@ class BatchNormMixed(nn.Module):
         return x.astype(self.dtype) * mul + add
 
 
-_QAT_DEFAULT = False
-
-
-def set_qat_default(enabled: bool) -> None:
-    """Global QAT toggle, set by the model factory from cfg ``qat: true``.
-
-    A module attribute would have to be threaded through every detector
-    definition; the factory-level default keeps the model code unchanged
-    while ``ConvBnAct(qat=...)`` can still override per-block.
-    """
-    global _QAT_DEFAULT
-    _QAT_DEFAULT = bool(enabled)
-
-
 class _KernelParam(nn.Module):
     """Holds a conv kernel param under nn.Conv's name/init so the QAT
     branch can fake-quantize it before the conv (same trick as
@@ -138,7 +124,7 @@ class ConvBnAct(nn.Module):
     calibration (``mutable=['quant_stats']``) each block sows the abs-max of
     its input activations.
 
-    QAT (cfg ``qat: true`` -> :func:`set_qat_default`, or ``qat=True``):
+    QAT (cfg ``qat: true``, threaded by the factory; or ``qat=True``):
     train-mode forward fake-quantizes the input per-tensor and the kernel
     per-output-channel with straight-through gradients — the same symmetric
     abs-max scheme the int8 serving path uses, so PTQ of a QAT-trained
@@ -151,13 +137,12 @@ class ConvBnAct(nn.Module):
     strides: int = 1
     act: Callable | None = nn.relu  # None => linear (Conv2dBn)
     dtype: jnp.dtype = jnp.float32
-    qat: bool | None = None  # None => the factory-set global default
+    qat: bool = False  # cfg `qat: true`, threaded by the factory
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = (self.kernel_size - 1) // 2
         pad = ((p, p), (p, p))
-        qat = self.qat if self.qat is not None else _QAT_DEFAULT
         if not self.is_initializing():
             self.sow("quant_stats", "x_absmax", jnp.max(jnp.abs(x)),
                      init_fn=lambda: jnp.zeros((), jnp.float32),
@@ -178,7 +163,7 @@ class ConvBnAct(nn.Module):
             )
             x = acc.astype(jnp.float32) * (x_scale * w_scale)
             x = x.astype(self.dtype)
-        elif qat and train and not self.is_initializing():
+        elif self.qat and train and not self.is_initializing():
             kernel = _KernelParam(self.features, self.kernel_size,
                                   name="conv")(x.shape[-1])
             wq = _fake_quant(kernel, axis=(0, 1, 2)).astype(self.dtype)
@@ -231,13 +216,17 @@ class V4TinyBlock(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    qat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = ConvBnAct(self.features, 3, dtype=self.dtype, name="conv1")(x, train)
-        x = ConvBnAct(self.features, 3, dtype=self.dtype, name="conv2")(y, train)
+        y = ConvBnAct(self.features, 3, dtype=self.dtype, qat=self.qat,
+                      name="conv1")(x, train)
+        x = ConvBnAct(self.features, 3, dtype=self.dtype, qat=self.qat,
+                      name="conv2")(y, train)
         x = jnp.concatenate([x, y], axis=-1)
-        x = ConvBnAct(self.features * 2, 1, dtype=self.dtype, name="conv3")(x, train)
+        x = ConvBnAct(self.features * 2, 1, dtype=self.dtype, qat=self.qat,
+                      name="conv3")(x, train)
         return x
 
 

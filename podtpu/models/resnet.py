@@ -20,18 +20,19 @@ class Bottleneck(nn.Module):
     features: int  # bottleneck width; output is 4x
     strides: int = 1
     dtype: jnp.dtype = jnp.float32
+    qat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        y = ConvBnAct(self.features, 1, dtype=self.dtype, name="conv1")(x, train)
+        y = ConvBnAct(self.features, 1, dtype=self.dtype, qat=self.qat, name="conv1")(x, train)
         y = ConvBnAct(self.features, 3, strides=self.strides,
-                      dtype=self.dtype, name="conv2")(y, train)
+                      dtype=self.dtype, qat=self.qat, name="conv2")(y, train)
         y = ConvBnAct(self.features * 4, 1, act=None, dtype=self.dtype,
-                      name="conv3")(y, train)
+                      qat=self.qat, name="conv3")(y, train)
         if residual.shape[-1] != y.shape[-1] or self.strides != 1:
             residual = ConvBnAct(self.features * 4, 1, strides=self.strides,
-                                 act=None, dtype=self.dtype,
+                                 act=None, dtype=self.dtype, qat=self.qat,
                                  name="downsample")(x, train)
         return nn.relu(y + residual).astype(self.dtype)
 
@@ -39,11 +40,12 @@ class Bottleneck(nn.Module):
 class ResNet(nn.Module):
     stage_sizes: Sequence[int] = (3, 4, 6, 3)  # ResNet-50
     dtype: jnp.dtype = jnp.float32
+    qat: bool = False
     out_indices: Sequence[int] = (2, 3, 4)  # C3, C4, C5
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvBnAct(64, 7, strides=2, dtype=self.dtype, name="stem")(x, train)
+        x = ConvBnAct(64, 7, strides=2, dtype=self.dtype, qat=self.qat, name="stem")(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         feats = []
         widths = (64, 128, 256, 512)
@@ -51,11 +53,13 @@ class ResNet(nn.Module):
             for block in range(n_blocks):
                 strides = 2 if (block == 0 and stage > 0) else 1
                 x = Bottleneck(width, strides, dtype=self.dtype,
+                               qat=self.qat,
                                name=f"stage{stage + 1}_block{block}")(x, train)
             if stage + 1 in self.out_indices:
                 feats.append(x)
         return feats
 
 
-def resnet50(dtype=jnp.float32, out_indices=(2, 3, 4)):
-    return ResNet(stage_sizes=(3, 4, 6, 3), dtype=dtype, out_indices=out_indices)
+def resnet50(dtype=jnp.float32, out_indices=(2, 3, 4), qat=False):
+    return ResNet(stage_sizes=(3, 4, 6, 3), dtype=dtype,
+                  out_indices=out_indices, qat=qat)

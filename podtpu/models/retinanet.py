@@ -44,13 +44,16 @@ class _Subnet(nn.Module):
 class RetinaNet(nn.Module):
     num_classes: int
     dtype: jnp.dtype = jnp.float32
+    qat: bool = False  # fake-quants the ResNet ConvBnAct blocks (FPN/head
+    # raw convs stay float — the PTQ path leaves them float too)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         from podtpu.models.resnet import ResNet
 
         c3, c4, c5 = ResNet(
-            stage_sizes=(3, 4, 6, 3), dtype=self.dtype, name="backbone"
+            stage_sizes=(3, 4, 6, 3), dtype=self.dtype, qat=self.qat,
+            name="backbone"
         )(x, train)
 
         # FPN lateral + top-down (P3-P5), plus P6/P7 from C5

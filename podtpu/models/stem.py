@@ -21,6 +21,7 @@ import os
 import flax.linen as nn
 import jax.numpy as jnp
 
+from podtpu.models.layers import _KernelParam
 from podtpu.ops.pallas.stem_fused import make_fused_stem
 
 
@@ -43,22 +44,6 @@ def stem_fusable(x: jnp.ndarray, train: bool, out_indices) -> bool:
         and x.shape[1] % 8 == 0
         and x.shape[2] % 2 == 0
     )
-
-
-class _ConvKernel(nn.Module):
-    """Holds the conv kernel param under the same name/init as nn.Conv."""
-
-    features: int
-    kernel_size: int = 3
-
-    @nn.compact
-    def __call__(self, in_ch: int):
-        return self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (self.kernel_size, self.kernel_size, in_ch, self.features),
-            jnp.float32,
-        )
 
 
 class _BnParams(nn.Module):
@@ -88,7 +73,7 @@ class _FusedConvBn(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        kernel = _ConvKernel(self.features, 3, name="conv")(x.shape[-1])
+        kernel = _KernelParam(self.features, 3, name="conv")(x.shape[-1])
         scale, bias, ra_mean, ra_var = _BnParams(self.features, name="bn")()
         fused = make_fused_stem(
             int(x.shape[1]), int(x.shape[2]), int(x.shape[3]),

@@ -18,16 +18,17 @@ class YoloV1(nn.Module):
     num_classes: int
     num_boxes: int = 2
     dtype: jnp.dtype = jnp.float32
+    qat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = Darknet19(out_indices=(5,), dtype=self.dtype, name="backbone")(x, train)[0]
+        x = Darknet19(out_indices=(5,), dtype=self.dtype, qat=self.qat, name="backbone")(x, train)[0]
 
-        x = ConvBnAct(1024, 3, dtype=self.dtype, name="head0")(x, train)
-        x = ConvBnAct(1024, 3, strides=2, dtype=self.dtype, name="head1")(x, train)
-        x = ConvBnAct(1024, 3, dtype=self.dtype, name="head2")(x, train)
-        x = ConvBnAct(1024, 3, dtype=self.dtype, name="head3")(x, train)
-        x = ConvBnAct(256, 3, dtype=self.dtype, name="head4")(x, train)
+        x = ConvBnAct(1024, 3, dtype=self.dtype, qat=self.qat, name="head0")(x, train)
+        x = ConvBnAct(1024, 3, strides=2, dtype=self.dtype, qat=self.qat, name="head1")(x, train)
+        x = ConvBnAct(1024, 3, dtype=self.dtype, qat=self.qat, name="head2")(x, train)
+        x = ConvBnAct(1024, 3, dtype=self.dtype, qat=self.qat, name="head3")(x, train)
+        x = ConvBnAct(256, 3, dtype=self.dtype, qat=self.qat, name="head4")(x, train)
 
         x = x.reshape(x.shape[0], -1)
         x = nn.Dropout(0.5, deterministic=not train)(x)

@@ -20,21 +20,22 @@ class YoloV2(nn.Module):
     num_classes: int
     num_anchors: int = 5
     dtype: jnp.dtype = jnp.float32
+    qat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        b4, b5 = Darknet19(out_indices=(4, 5), dtype=self.dtype, name="backbone")(
+        b4, b5 = Darknet19(out_indices=(4, 5), dtype=self.dtype, qat=self.qat, name="backbone")(
             x, train
         )
 
-        b4 = ConvBnAct(64, 1, dtype=self.dtype, name="b4_layer")(b4, train)
+        b4 = ConvBnAct(64, 1, dtype=self.dtype, qat=self.qat, name="b4_layer")(b4, train)
         b4 = passthrough_reorg(b4)
 
-        b5 = ConvBnAct(1024, 3, dtype=self.dtype, name="b5_layer0")(b5, train)
-        b5 = ConvBnAct(1024, 3, dtype=self.dtype, name="b5_layer1")(b5, train)
+        b5 = ConvBnAct(1024, 3, dtype=self.dtype, qat=self.qat, name="b5_layer0")(b5, train)
+        b5 = ConvBnAct(1024, 3, dtype=self.dtype, qat=self.qat, name="b5_layer1")(b5, train)
 
         x = jnp.concatenate([b4, b5], axis=-1)  # 256 + 1024 = 1280ch
-        x = ConvBnAct(1024, 3, dtype=self.dtype, name="head_conv")(x, train)
+        x = ConvBnAct(1024, 3, dtype=self.dtype, qat=self.qat, name="head_conv")(x, train)
         return HeadConv(
             self.num_anchors * (self.num_classes + 5), dtype=self.dtype, name="head"
         )(x)

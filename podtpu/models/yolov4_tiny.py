@@ -23,6 +23,7 @@ class YoloV4Tiny(nn.Module):
     num_classes: int
     num_anchors: int = 9
     dtype: jnp.dtype = jnp.float32
+    qat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -31,40 +32,40 @@ class YoloV4Tiny(nn.Module):
         out_ch = per_scale * (self.num_classes + 5)
         dt = self.dtype
 
-        x = ConvBnAct(32, 3, strides=2, dtype=dt, name="stem")(x, train)
-        y = ConvBnAct(64, 3, strides=2, dtype=dt, name="layer1_0")(x, train)
-        y = ConvBnAct(64, 3, dtype=dt, name="layer1_1")(y, train)
-        x = V4TinyBlock(32, dtype=dt, name="tiny_block1")(y, train)
+        x = ConvBnAct(32, 3, strides=2, dtype=dt, qat=self.qat, name="stem")(x, train)
+        y = ConvBnAct(64, 3, strides=2, dtype=dt, qat=self.qat, name="layer1_0")(x, train)
+        y = ConvBnAct(64, 3, dtype=dt, qat=self.qat, name="layer1_1")(y, train)
+        x = V4TinyBlock(32, dtype=dt, qat=self.qat, name="tiny_block1")(y, train)
         x = jnp.concatenate([y, x], axis=-1)
 
         y = max_pool_2x2(x)
-        y = ConvBnAct(128, 3, dtype=dt, name="layer2")(y, train)
-        b3 = V4TinyBlock(64, dtype=dt, name="tiny_block2")(y, train)
+        y = ConvBnAct(128, 3, dtype=dt, qat=self.qat, name="layer2")(y, train)
+        b3 = V4TinyBlock(64, dtype=dt, qat=self.qat, name="tiny_block2")(y, train)
         x = jnp.concatenate([y, b3], axis=-1)
 
         y = max_pool_2x2(x)
-        y = ConvBnAct(256, 3, dtype=dt, name="layer3")(y, train)
-        b4 = V4TinyBlock(128, dtype=dt, name="tiny_block3")(y, train)
+        y = ConvBnAct(256, 3, dtype=dt, qat=self.qat, name="layer3")(y, train)
+        b4 = V4TinyBlock(128, dtype=dt, qat=self.qat, name="tiny_block3")(y, train)
         x = jnp.concatenate([y, b4], axis=-1)
 
         x = max_pool_2x2(x)
-        x = ConvBnAct(512, 3, dtype=dt, name="layer4_0")(x, train)
-        b5 = ConvBnAct(256, 1, dtype=dt, name="layer4_1")(x, train)
+        x = ConvBnAct(512, 3, dtype=dt, qat=self.qat, name="layer4_0")(x, train)
+        b5 = ConvBnAct(256, 1, dtype=dt, qat=self.qat, name="layer4_1")(x, train)
 
         # Prediction branches (yolov4_tiny.py:96-109)
-        p5 = ConvBnAct(512, 3, dtype=dt, name="p5_expand")(b5, train)
+        p5 = ConvBnAct(512, 3, dtype=dt, qat=self.qat, name="p5_expand")(b5, train)
         p5 = HeadConv(out_ch, dtype=dt, name="p5_pred")(p5)
 
-        b5_route = ConvBnAct(128, 1, dtype=dt, name="b5_route")(b5, train)
+        b5_route = ConvBnAct(128, 1, dtype=dt, qat=self.qat, name="b5_route")(b5, train)
         b5_route = upsample_nearest_2x(b5_route)
         b4 = jnp.concatenate([b5_route, b4], axis=-1)  # 128 + 256 = 384
-        b4 = ConvBnAct(256, 3, dtype=dt, name="b4_conv")(b4, train)
+        b4 = ConvBnAct(256, 3, dtype=dt, qat=self.qat, name="b4_conv")(b4, train)
         p4 = HeadConv(out_ch, dtype=dt, name="p4_pred")(b4)
 
-        b4_route = ConvBnAct(64, 1, dtype=dt, name="b4_route")(b4, train)
+        b4_route = ConvBnAct(64, 1, dtype=dt, qat=self.qat, name="b4_route")(b4, train)
         b4_route = upsample_nearest_2x(b4_route)
         b3 = jnp.concatenate([b4_route, b3], axis=-1)  # 64 + 128 = 192
-        p3 = ConvBnAct(128, 3, dtype=dt, name="p3_expand")(b3, train)
+        p3 = ConvBnAct(128, 3, dtype=dt, qat=self.qat, name="p3_expand")(b3, train)
         p3 = HeadConv(out_ch, dtype=dt, name="p3_pred")(p3)
 
         return p3, p4, p5

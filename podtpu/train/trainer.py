@@ -133,6 +133,10 @@ class Trainer:
         self.train_step = make_train_step(cfg, self.mesh)
         self.eval_step = make_eval_step(cfg, self.mesh)
         self.schedule = build_schedule(cfg)
+        # with gradient accumulation the optimizer advances its schedule
+        # once per k micro-steps; log the lr actually applied
+        self._accum = int(dict(cfg.get("optimizer_options", {}))
+                          .get("accum_steps", 1) or 1)
         self.map_metric = MeanAveragePrecision(
             cfg["num_classes"], cfg["input_size"]
         )
@@ -234,7 +238,7 @@ class Trainer:
                 raise RuntimeError("empty train loader")
             train_loss = float(jnp.mean(jnp.stack(losses)))
             step = int(self.state.step)
-            lr = float(self.schedule(step))
+            lr = float(self.schedule(step // self._accum))
             dt = time.time() - t_epoch
             ips = n_images / dt if dt > 0 else 0.0
             self.writer.add_scalar("train_loss", train_loss, step)

@@ -120,13 +120,11 @@ def test_reference_results_json_schema_parity():
     assert set(rec) == {"image_id", "category_id", "bbox", "score"}
     assert isinstance(rec["category_id"], int) and rec["category_id"] >= 1
     assert len(rec["bbox"]) == 4
-    # our writer (yolo2coco_pred_file.py::run) builds records with exactly
-    # these keys/types; lock the shared schema here so a drift in either
-    # direction fails loudly
-    ours = {
-        "image_id": "000005",
-        "category_id": 1,
-        "bbox": [1.0, 2.0, 3.0, 4.0],
-        "score": 0.5,
-    }
+    # exercise the ACTUAL writer record builder against the artifact
+    from yolo2coco_pred_file import coco_record
+
+    ours = coco_record("000005", (10.0, 20.0, 4.0, 6.0, 0.5, 0.0), 1.0, 1.0)
     assert set(ours) == set(rec)
+    assert type(ours["category_id"]) is type(rec["category_id"])
+    assert ours["category_id"] == 1 and len(ours["bbox"]) == 4
+    assert ours["bbox"][0] == 8.0  # x = cx - w/2

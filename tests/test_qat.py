@@ -11,13 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from podtpu.models.layers import ConvBnAct, _fake_quant, set_qat_default
-
-
-@pytest.fixture(autouse=True)
-def _reset_qat_default():
-    yield
-    set_qat_default(False)
+from podtpu.models.layers import ConvBnAct, _fake_quant
 
 
 def test_fake_quant_values_and_ste():
@@ -84,19 +78,20 @@ class TestConvBnActQat:
         assert np.all(np.isfinite(gk)) and np.any(gk != 0)
 
 
-def test_factory_cfg_flag_drives_default():
+def test_factory_cfg_flag_threads_attribute():
+    """qat is threaded per-model (no process-global): two models with
+    different settings coexist."""
     from podtpu.models import build_model
-    from podtpu.models import layers
 
     cfg = dict(model="yolov4-tiny", num_classes=4, input_size=64,
                anchors=[[10, 13], [16, 30], [33, 23], [30, 61], [62, 45],
                         [59, 119], [116, 90], [156, 198], [373, 326]],
                qat=True)
-    build_model(cfg)
-    assert layers._QAT_DEFAULT is True
-    cfg["qat"] = False
-    build_model(cfg)
-    assert layers._QAT_DEFAULT is False
+    m_on = build_model(cfg)
+    cfg2 = dict(cfg)
+    cfg2["qat"] = False
+    m_off = build_model(cfg2)
+    assert m_on.qat is True and m_off.qat is False
 
 
 @pytest.mark.slow
@@ -138,4 +133,3 @@ def test_qat_train_step_end_to_end():
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     qvars = quantize_for_serving(model, variables, [batch["img"]])
     assert "quant" in qvars
-    set_qat_default(False)

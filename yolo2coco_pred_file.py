@@ -22,6 +22,23 @@ from podtpu.config import get_configs, setup_platform
 from podtpu.train.trainer import Trainer, restore_weights
 
 
+def coco_record(image_id, det, sx: float, sy: float) -> dict:
+    """One COCO-format prediction record (the schema of the reference's
+    checked-in results.json — locked by tests/test_coco_metrics.py)."""
+    cx, cy, w, h, conf, cls = det
+    return {
+        "image_id": image_id,
+        "category_id": int(cls) + 1,  # COCO categories are 1-based
+        "bbox": [
+            round(float((cx - w / 2) * sx), 2),
+            round(float((cy - h / 2) * sy), 2),
+            round(float(w * sx), 2),
+            round(float(h * sy), 2),
+        ],
+        "score": round(float(conf), 5),
+    }
+
+
 def run(cfg: dict, ckpt: str | None, ann_json: str, out_json: str):
     with open(ann_json, "r") as f:
         coco = json.load(f)
@@ -49,18 +66,8 @@ def run(cfg: dict, ckpt: str | None, ann_json: str, out_json: str):
         _, dets, valid = trainer.eval_step(trainer.state, trainer._put(batch))
         dets = np.asarray(dets[0])[np.asarray(valid[0])]
         sx, sy = w0 / size, h0 / size
-        for cx, cy, w, h, conf, cls in dets:
-            results.append({
-                "image_id": info["id"],
-                "category_id": int(cls) + 1,  # COCO categories are 1-based
-                "bbox": [
-                    round(float((cx - w / 2) * sx), 2),
-                    round(float((cy - h / 2) * sy), 2),
-                    round(float(w * sx), 2),
-                    round(float(h * sy), 2),
-                ],
-                "score": round(float(conf), 5),
-            })
+        for det in dets:
+            results.append(coco_record(info["id"], det, sx, sy))
 
     with open(out_json, "w") as f:
         json.dump(results, f)
