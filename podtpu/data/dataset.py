@@ -232,7 +232,8 @@ def build_datasets(cfg: dict):
     yolov3 uses the letterbox DataModule, v1/v2/v4-tiny use YoloDataModule
     (train_yolov3.py:22-28 vs train_yolov2.py:19-25)."""
     pipeline = cfg.get(
-        "pipeline", "letterbox" if cfg["model"] == "yolov3" else "simple"
+        "pipeline",
+        "letterbox" if cfg["model"] in ("yolov3", "yolov4") else "simple"
     )
     cache = bool(cfg.get("cache_images", False))
     u8 = bool(cfg.get("uint8_batches", True))

@@ -20,7 +20,7 @@ def build_loss(cfg: dict):
         return lambda preds, annots: yolov2_loss_v2(
             preds, annots, cfg["num_classes"], cfg["scaled_anchors"]
         )
-    if name in ("yolov3", "yolov4-tiny"):
+    if name in ("yolov3", "yolov4", "yolov4-tiny"):
         return lambda preds, annots: yolov3_loss_v2(
             preds, annots, cfg["num_classes"], cfg["anchors"], cfg["input_size"]
         )

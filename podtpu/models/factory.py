@@ -51,6 +51,13 @@ def build_model(cfg: dict):
             num_classes=num_classes, num_anchors=len(cfg["anchors"]),
             dtype=dtype, qat=qat,
         )
+    if name == "yolov4":
+        from podtpu.models.yolov4 import YoloV4
+
+        return YoloV4(
+            num_classes=num_classes, num_anchors=len(cfg["anchors"]),
+            dtype=dtype, qat=qat,
+        )
     if name == "retinanet":
         from podtpu.models.retinanet import RetinaNet
 

@@ -74,7 +74,7 @@ def make_decoder(cfg: dict) -> Callable:
     if name == "yolov2":
         anchors = cfg["scaled_anchors"]
         return lambda preds: decode_yolov2(preds, num_classes, anchors, input_size)
-    if name in ("yolov3", "yolov4-tiny"):
+    if name in ("yolov3", "yolov4", "yolov4-tiny"):
         anchors = cfg["anchors"]
         return lambda preds: decode_yolov3(preds, num_classes, anchors, input_size)
     if name == "retinanet":

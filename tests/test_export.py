@@ -304,6 +304,7 @@ def test_npz_partial_load(tmp_path):
     ("yolov2", {"scaled_anchors": [[1.0, 1.5], [2.0, 2.0], [3.0, 4.0],
                                    [4.5, 3.5], [5.0, 5.0]]}),
     ("yolov3", {}),
+    ("yolov4", {}),
     ("retinanet", {}),
 ])
 def test_serving_export_all_families(name, extra, tmp_path):
