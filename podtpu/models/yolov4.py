@@ -118,6 +118,26 @@ class CSPDarknet53(nn.Module):
         return c3, c4, c5
 
 
+class CSPDarknet53Classifier(nn.Module):
+    """Classification variant for backbone pretraining (the darknet19
+    tiny-imagenet recipe, models/backbone/darknet.py:96-150, applied to
+    CSPDarknet53). Shares the ``backbone`` scope with ``YoloV4`` so the
+    saved weights partial-load via cfg ``backbone_pretrained``."""
+
+    num_classes: int = 1000
+    dtype: jnp.dtype = jnp.float32
+    qat: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c5 = CSPDarknet53(dtype=self.dtype, qat=self.qat,
+                          name="backbone")(x, train)[2]
+        x = nn.Dropout(0.5, deterministic=not train)(c5)
+        x = ConvBnAct(self.num_classes, 1, dtype=self.dtype,
+                      name="classifier")(x, train)
+        return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+
+
 class _ConvTrioLeaky(nn.Module):
     """1x1 squeeze -> 3x3 expand -> 1x1 squeeze (leaky), SPP sandwich."""
 

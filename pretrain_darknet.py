@@ -10,6 +10,9 @@ detectors share the ``backbone`` parameter scope, so the partial load maps
 
     python pretrain_darknet.py --data /path/to/tiny-imagenet/train \
         --epochs 10 --out darknet19_pretrained.npz [--platform cpu]
+
+``--model cspdarknet53`` pretrains the full-YOLOv4 backbone the same way
+(CSPDarknet53Classifier shares the ``backbone`` scope with YoloV4).
 """
 
 from __future__ import annotations
@@ -66,6 +69,8 @@ def main():
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--lr", type=float, default=0.1)
     ap.add_argument("--out", type=str, default="darknet19_pretrained.npz")
+    ap.add_argument("--model", type=str, default="darknet19",
+                    choices=["darknet19", "cspdarknet53"])
     ap.add_argument("--platform", type=str, default=None)
     args = ap.parse_args()
     setup_platform(args.platform)
@@ -74,7 +79,14 @@ def main():
     num_classes = len(ds.classes)
     print(f"{len(ds)} images / {num_classes} classes")
 
-    model = Darknet19Classifier(num_classes=num_classes, dtype=jnp.bfloat16)
+    if args.model == "cspdarknet53":
+        from podtpu.models.yolov4 import CSPDarknet53Classifier
+
+        model = CSPDarknet53Classifier(num_classes=num_classes,
+                                       dtype=jnp.bfloat16)
+    else:
+        model = Darknet19Classifier(num_classes=num_classes,
+                                    dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     variables = model.init(
         rng, jnp.zeros((1, args.size, args.size, 3)), train=False

@@ -77,6 +77,36 @@ def test_backbone_taps(model_and_vars):
     assert c5.shape == (1, 2, 2, 1024)
 
 
+def test_classifier_and_backbone_pretrain_partial_load(tmp_path):
+    """CSPDarknet53Classifier (pretrain_darknet.py --model cspdarknet53)
+    shares the `backbone` scope with YoloV4, so its npz partial-loads."""
+    from podtpu.export.weights import SEP
+    from podtpu.models.yolov4 import CSPDarknet53Classifier
+    from podtpu.train.state import create_train_state
+
+    clf = CSPDarknet53Classifier(num_classes=7)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    v = clf.init(jax.random.PRNGKey(0), x, train=False)
+    logits = clf.apply(v, x, train=False)
+    assert logits.shape == (1, 7)
+
+    arrays = {}
+    flat = jax.tree_util.tree_flatten_with_path(v["params"]["backbone"])[0]
+    for path, leaf in flat:
+        key = "params" + SEP + "backbone" + SEP + SEP.join(
+            p.key for p in path)
+        arrays[key] = np.full(leaf.shape, 0.123, leaf.dtype)
+    npz = str(tmp_path / "csp_bb.npz")
+    np.savez(npz, **arrays)
+
+    cfg = dict(CFG, input_size=64, backbone_pretrained=npz)
+    loaded = create_train_state(cfg, jax.random.PRNGKey(0))
+    bb = jax.tree_util.tree_leaves(loaded.params["backbone"])
+    assert all(np.allclose(np.asarray(l), 0.123) for l in bb)
+    head = jax.tree_util.tree_leaves(loaded.params["p5_pred"])
+    assert not np.allclose(np.asarray(head[0]), 0.123)
+
+
 def test_mish():
     from podtpu.models.yolov4 import mish
 
