@@ -9,7 +9,8 @@ def build_loss(cfg: dict):
 
     Mirrors the reference's module wiring: YoloV2LossV2 for yolov2
     (module/yolov2_detector.py:14) and YoloV3LossV2 for yolov3 / yolov4-tiny
-    (module/yolov3_detector.py:16, train_yolov4-tiny.py:38-41).
+    (module/yolov3_detector.py:16, train_yolov4-tiny.py:38-41). Full yolov4
+    joins the YoloV3LossV2 group (same three-head contract).
     """
     name = cfg["model"]
     if name == "yolov1":
