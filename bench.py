@@ -3,7 +3,9 @@
 Runs the full jitted training step (forward + vectorized target encoding +
 CIoU loss + backward + SGD update, bf16 compute) on the attached TPU chip
 with device-resident synthetic batches, so the number is the compute-path
-ceiling the input pipeline must feed.
+ceiling the input pipeline must feed. The harness itself lives in
+tools/bench_family.py (shared with the per-family probe so the two tools
+stay methodology-identical).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -24,54 +26,17 @@ are the hard numbers. Run-to-run variance over the axon tunnel is ~±3%.
 from __future__ import annotations
 
 import json
-import time
-
-import jax
-import numpy as np
 
 REF_GPU_IPS = 130.0
 BATCH = 128
-WARMUP = 3
-ITERS = 10
 
 
 def main():
     from __graft_entry__ import _flagship_cfg
-    from podtpu.parallel.mesh import make_mesh, replicated_sharding, shard_batch
-    from podtpu.train.state import create_train_state
-    from podtpu.train.steps import make_train_step
+    from tools.bench_family import bench
 
     cfg = _flagship_cfg(input_size=416, compute_dtype="bfloat16")
-    mesh = make_mesh()
-    n_chips = len(jax.devices())
-
-    rng = jax.random.PRNGKey(0)
-    state = create_train_state(cfg, rng)
-    state = jax.device_put(state, replicated_sharding(mesh))
-
-    r = np.random.default_rng(0)
-    imgs = r.uniform(0, 1, (BATCH, 416, 416, 3)).astype(np.float32)
-    annot = -np.ones((BATCH, cfg["max_annots"], 5), np.float32)
-    for b in range(BATCH):
-        for i in range(8):
-            cx, cy = r.uniform(0.1, 0.9, 2)
-            w, h = r.uniform(0.05, 0.4, 2)
-            annot[b, i] = [cx, cy, w, h, r.integers(0, 20)]
-    batch = shard_batch({"img": imgs, "annot": annot}, mesh)
-
-    train_step = make_train_step(cfg, mesh, donate=True)
-
-    for _ in range(WARMUP):
-        state, metrics = train_step(state, batch, rng)
-    jax.block_until_ready(metrics["loss"])
-
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, metrics = train_step(state, batch, rng)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
-
-    ips = BATCH * ITERS / dt / n_chips
+    ips = bench(cfg, BATCH, warmup=3, iters=10)
     print(json.dumps({
         "metric": "yolov3_416_train_images_per_sec_per_chip",
         "value": round(ips, 2),

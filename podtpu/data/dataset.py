@@ -229,8 +229,9 @@ class YoloTxtDataset:
 
 def build_datasets(cfg: dict):
     """(train_ds, val_ds) with the reference's model->pipeline wiring:
-    yolov3 uses the letterbox DataModule, v1/v2/v4-tiny use YoloDataModule
-    (train_yolov3.py:22-28 vs train_yolov2.py:19-25)."""
+    yolov3 (and full yolov4, which follows the v3 recipe) uses the letterbox
+    DataModule, v1/v2/v4-tiny use YoloDataModule (train_yolov3.py:22-28 vs
+    train_yolov2.py:19-25)."""
     pipeline = cfg.get(
         "pipeline",
         "letterbox" if cfg["model"] in ("yolov3", "yolov4") else "simple"

@@ -36,8 +36,8 @@ from podtpu.models.layers import ConvBnAct, HeadConv, upsample_nearest_2x
 
 
 def mish(x):
-    """x * tanh(softplus(x)) — CSPDarknet53's activation."""
-    return x * jnp.tanh(jax.nn.softplus(x))
+    """x * tanh(softplus(x)) — CSPDarknet53's activation (jax.nn.mish)."""
+    return jax.nn.mish(x)
 
 
 def leaky01(x):

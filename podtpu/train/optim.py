@@ -65,15 +65,22 @@ def build_optimizer(cfg: dict, params) -> optax.GradientTransformation:
     effective batch of ``k * batch_size`` when HBM caps the physical batch.
     Mean-loss gradients make the k-average exactly the big-batch gradient.
     (BatchNorm still sees per-micro-batch statistics, the same deviation
-    any gradient-accumulation scheme has; the Trainer's logged ``lr`` is
-    derived from the micro-step counter, so it reads k-ahead of the
-    schedule the optimizer actually applies.)
+    any gradient-accumulation scheme has; the Trainer logs
+    ``schedule(step // k)`` so the reported lr matches the schedule the
+    optimizer actually applies.)
     """
     tx = _build_optimizer(cfg, params)
-    accum = int(dict(cfg.get("optimizer_options", {})).get("accum_steps", 1))
+    accum = accum_steps(cfg)
     if accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx
+
+
+def accum_steps(cfg: dict) -> int:
+    """``optimizer_options.accum_steps`` (1 = no accumulation). Single
+    source of truth for build_optimizer and the Trainer's lr logging."""
+    return int(dict(cfg.get("optimizer_options", {})).get("accum_steps", 1)
+               or 1)
 
 
 def _build_optimizer(cfg: dict, params) -> optax.GradientTransformation:

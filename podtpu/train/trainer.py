@@ -135,8 +135,9 @@ class Trainer:
         self.schedule = build_schedule(cfg)
         # with gradient accumulation the optimizer advances its schedule
         # once per k micro-steps; log the lr actually applied
-        self._accum = int(dict(cfg.get("optimizer_options", {}))
-                          .get("accum_steps", 1) or 1)
+        from podtpu.train.optim import accum_steps
+
+        self._accum = accum_steps(cfg)
         self.map_metric = MeanAveragePrecision(
             cfg["num_classes"], cfg["input_size"]
         )

@@ -37,7 +37,7 @@ def bench(cfg: dict, batch: int, warmup: int = 3, iters: int = 10) -> float:
     imgs = r.uniform(0, 1, (batch, size, size, 3)).astype(np.float32)
     annot = -np.ones((batch, cfg["max_annots"], 5), np.float32)
     for b in range(batch):
-        for i in range(8):
+        for i in range(min(8, cfg["max_annots"])):
             cx, cy = r.uniform(0.1, 0.9, 2)
             w, h = r.uniform(0.05, 0.4, 2)
             annot[b, i] = [cx, cy, w, h, r.integers(0, cfg["num_classes"])]
