@@ -22,7 +22,11 @@ import jax.numpy as jnp
 from podtpu.losses import build_loss
 from podtpu.ops.decode import decode_yolov1, decode_yolov2, decode_yolov3
 from podtpu.ops.nms import batched_class_aware_nms
-from podtpu.parallel.mesh import batch_sharding, replicated_sharding
+from podtpu.parallel.mesh import (
+    batch_sharding,
+    image_sharding,
+    replicated_sharding,
+)
 
 
 def compiler_options(cfg: dict) -> dict | None:
@@ -84,8 +88,17 @@ def make_decoder(cfg: dict) -> Callable:
     raise ValueError(f"unknown model '{name}'")
 
 
-def make_train_step(cfg: dict, mesh=None, donate: bool = True):
-    """Build the jitted ``(state, batch, rng) -> (state, metrics)`` step."""
+def make_train_step(cfg: dict, mesh=None, donate: bool = True,
+                    state_shardings=None):
+    """Build the jitted ``(state, batch, rng) -> (state, metrics)`` step.
+
+    ``state_shardings`` (a pytree of ``NamedSharding`` matching the
+    TrainState, from :func:`podtpu.parallel.mesh.state_shardings`) selects
+    the parameter layout under ``mesh``: ``None`` = replicated (pure DP);
+    an FSDP tree keeps params/optimizer state/gradients sharded over the
+    ``data`` axis at rest (GSPMD all-gathers per use, reduce-scatters the
+    gradients). Batch images shard H over a ``space`` mesh axis when the
+    mesh has one (spatial partitioning)."""
     loss_fn = build_loss(cfg)
     from podtpu.data.device_aug import make_device_augment
 
@@ -126,16 +139,18 @@ def make_train_step(cfg: dict, mesh=None, donate: bool = True):
 
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
+    st = state_shardings if state_shardings is not None else repl
     return jax.jit(
         train_step,
-        in_shardings=(repl, {"img": data, "annot": data}, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(st, {"img": image_sharding(mesh), "annot": data}, repl),
+        out_shardings=(st, repl),
         donate_argnums=(0,) if donate else (),
         compiler_options=opts,
     )
 
 
-def make_stats_step(cfg: dict, mesh=None, momentum: float = 0.9):
+def make_stats_step(cfg: dict, mesh=None, momentum: float = 0.9,
+                    state_shardings=None):
     """Forward-only BN-statistics step for SWA recalibration.
 
     Runs the model in train mode (mutable batch_stats) and inverts the EWMA
@@ -164,14 +179,17 @@ def make_stats_step(cfg: dict, mesh=None, momentum: float = 0.9):
 
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
+    st = state_shardings if state_shardings is not None else repl
     return jax.jit(
         stats_step,
-        in_shardings=(repl, {"img": data, "annot": data}, repl),
+        in_shardings=(st, {"img": image_sharding(mesh), "annot": data},
+                      repl),
         out_shardings=repl,
     )
 
 
-def make_eval_step(cfg: dict, mesh=None, extra_variables: dict | None = None):
+def make_eval_step(cfg: dict, mesh=None, extra_variables: dict | None = None,
+                   state_shardings=None):
     """Build the jitted eval step: loss + decoded, NMS'd detections.
 
     Returns ``(loss, detections [B, max_det, 6], valid [B, max_det])`` —
@@ -212,9 +230,10 @@ def make_eval_step(cfg: dict, mesh=None, extra_variables: dict | None = None):
 
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
+    st = state_shardings if state_shardings is not None else repl
     return jax.jit(
         eval_step,
-        in_shardings=(repl, {"img": data, "annot": data}),
+        in_shardings=(st, {"img": image_sharding(mesh), "annot": data}),
         out_shardings=(repl, data, data),
         compiler_options=opts,
     )

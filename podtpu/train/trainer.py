@@ -124,14 +124,19 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.get("seed", 0))
         self.rng = rng
         self.state = create_train_state(cfg, rng)
+        self.state_shardings = None
         if self.mesh is not None:
-            from podtpu.parallel.mesh import replicated_sharding
+            from podtpu.parallel.mesh import state_shardings
 
-            self.state = jax.device_put(
-                self.state, replicated_sharding(self.mesh)
+            fsdp = bool((cfg.get("parallel_options") or {}).get("fsdp"))
+            self.state_shardings = state_shardings(
+                self.mesh, self.state, fsdp=fsdp
             )
-        self.train_step = make_train_step(cfg, self.mesh)
-        self.eval_step = make_eval_step(cfg, self.mesh)
+            self.state = jax.device_put(self.state, self.state_shardings)
+        self.train_step = make_train_step(
+            cfg, self.mesh, state_shardings=self.state_shardings)
+        self.eval_step = make_eval_step(
+            cfg, self.mesh, state_shardings=self.state_shardings)
         self.schedule = build_schedule(cfg)
         # with gradient accumulation the optimizer advances its schedule
         # once per k micro-steps; log the lr actually applied
@@ -155,13 +160,23 @@ class Trainer:
 
     @staticmethod
     def _pick_mesh(cfg):
-        """Data mesh over the most devices that evenly divide the batch."""
+        """Mesh over the most devices that fit the batch and spatial factor.
+
+        ``parallel_options.spatial = k`` groups k chips per image (height
+        partitioning); the data axis then only needs to divide batch by
+        n_devices/k."""
         devices = jax.devices()
         batch = int(cfg.get("batch_size", 1))
+        spatial = int((cfg.get("parallel_options") or {}).get("spatial", 1))
+        if spatial > 1 and len(devices) % spatial != 0:
+            raise ValueError(
+                f"parallel_options.spatial={spatial} does not divide "
+                f"{len(devices)} devices")
         n = len(devices)
-        while n > 1 and batch % n != 0:
+        while n > spatial and (n % spatial != 0
+                               or batch % (n // spatial) != 0):
             n -= 1
-        return make_mesh(devices[:n])
+        return make_mesh(devices[:n], spatial=spatial)
 
     @property
     def writer(self):
@@ -356,7 +371,8 @@ class Trainer:
         ``update_bn`` pass — forward only, no gradient)."""
         from podtpu.train.steps import make_stats_step
 
-        stats_step = make_stats_step(self.cfg, self.mesh)
+        stats_step = make_stats_step(self.cfg, self.mesh,
+                                     state_shardings=self.state_shardings)
         loader.set_epoch(0)
         acc = None
         n = 0

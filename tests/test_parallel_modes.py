@@ -1,0 +1,170 @@
+"""FSDP and spatial-partitioning tests on the 8 virtual CPU devices.
+
+The reference's only scaling axis is DDP (SURVEY.md §2.7). podtpu adds two
+TPU-native layouts on top of the same train step — FSDP (ZeRO-3 parameter/
+optimizer sharding over the ``data`` axis) and spatial partitioning (image
+height sharded over a ``space`` mesh axis, GSPMD halo exchange). Both must
+be *layouts*, not math changes: every test here asserts parity with the
+plain single-device step on the same global batch.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from test_train import TINY_CFG, tiny_batch
+
+from podtpu.parallel.mesh import (
+    DATA_AXIS,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+    spatial_size,
+    state_shardings,
+)
+from podtpu.train.state import create_train_state
+from podtpu.train.steps import make_eval_step, make_train_step
+
+
+def _single_device_step(state, batch, rng):
+    step = make_train_step(TINY_CFG, mesh=None, donate=False)
+    batch = jax.tree_util.tree_map(jax.numpy.asarray, batch)
+    return step(state, batch, rng)
+
+
+def _assert_state_close(a, b, rtol=2e-4, atol=1e-6):
+    for x, y in zip(jax.tree_util.tree_leaves(a.params),
+                    jax.tree_util.tree_leaves(b.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=rtol, atol=atol)
+
+
+def test_fsdp_layout_shards_large_leaves():
+    """FSDP shardings: big conv kernels split over ``data``; BN scales and
+    other small leaves stay replicated."""
+    mesh = make_mesh()
+    state = create_train_state(TINY_CFG, jax.random.PRNGKey(0))
+    sh = state_shardings(mesh, state, fsdp=True)
+    placed = jax.device_put(state, sh)
+
+    n = mesh.shape[DATA_AXIS]
+    sharded = replicated = 0
+    for leaf in jax.tree_util.tree_leaves(placed.params):
+        local = leaf.addressable_shards[0].data.shape
+        if local != leaf.shape:
+            sharded += 1
+            # exactly one dim divided by the data-axis size
+            diffs = [g // l for g, l in zip(leaf.shape, local) if g != l]
+            assert diffs == [n], (leaf.shape, local)
+        else:
+            replicated += 1
+    assert sharded >= 10, f"only {sharded} param leaves sharded"
+    assert replicated >= 10, "small leaves should stay replicated"
+
+    # optimizer momentum mirrors the param layout for the large leaves
+    opt_sharded = sum(
+        1 for leaf in jax.tree_util.tree_leaves(placed.opt_state)
+        if hasattr(leaf, "addressable_shards")
+        and leaf.addressable_shards[0].data.shape != leaf.shape
+    )
+    assert opt_sharded >= 10, "optimizer state not sharded under FSDP"
+
+
+@pytest.mark.slow
+def test_fsdp_step_matches_single_device():
+    """ZeRO-3 layout is a layout: identical updated params vs 1 device."""
+    mesh = make_mesh()
+    state = create_train_state(TINY_CFG, jax.random.PRNGKey(0))
+    sh = state_shardings(mesh, state, fsdp=True)
+    state_fsdp = jax.device_put(state, sh)
+    batch = tiny_batch(batch_size=8)
+    rng = jax.random.PRNGKey(1)
+
+    step = make_train_step(TINY_CFG, mesh, donate=False, state_shardings=sh)
+    s_fsdp, m_fsdp = step(state_fsdp, shard_batch(batch, mesh), rng)
+    s_1, m_1 = _single_device_step(state, batch, rng)
+
+    assert float(m_fsdp["loss"]) == pytest.approx(float(m_1["loss"]),
+                                                  rel=1e-5)
+    _assert_state_close(s_fsdp, s_1)
+    # the updated state keeps the FSDP layout (no silent re-replication)
+    big = [leaf for leaf in jax.tree_util.tree_leaves(s_fsdp.params)
+           if leaf.addressable_shards[0].data.shape != leaf.shape]
+    assert big, "updated params lost their FSDP sharding"
+
+
+@pytest.mark.slow
+def test_spatial_step_matches_single_device():
+    """(data=4, space=2) mesh: H sharded over 2 chips, same math."""
+    mesh = make_mesh(spatial=2)
+    assert spatial_size(mesh) == 2 and mesh.shape[DATA_AXIS] == 4
+    state = create_train_state(TINY_CFG, jax.random.PRNGKey(0))
+    state_r = jax.device_put(state, replicated_sharding(mesh))
+    batch = tiny_batch(batch_size=8)
+    rng = jax.random.PRNGKey(1)
+
+    sharded = shard_batch(batch, mesh)
+    # images really are split along H across the space axis
+    img = sharded["img"]
+    assert img.addressable_shards[0].data.shape[1] == img.shape[1] // 2
+
+    step = make_train_step(TINY_CFG, mesh, donate=False)
+    s_sp, m_sp = step(state_r, sharded, rng)
+    s_1, m_1 = _single_device_step(state, batch, rng)
+
+    assert float(m_sp["loss"]) == pytest.approx(float(m_1["loss"]), rel=1e-5)
+    _assert_state_close(s_sp, s_1)
+
+
+@pytest.mark.slow
+def test_spatial_eval_matches_single_device():
+    mesh = make_mesh(spatial=2)
+    state = create_train_state(TINY_CFG, jax.random.PRNGKey(0))
+    state_r = jax.device_put(state, replicated_sharding(mesh))
+    batch = tiny_batch(batch_size=8)
+
+    ev = make_eval_step(TINY_CFG, mesh)
+    loss_sp, dets_sp, valid_sp = ev(state_r, shard_batch(batch, mesh))
+
+    ev1 = make_eval_step(TINY_CFG, mesh=None)
+    batch_1 = jax.tree_util.tree_map(jax.numpy.asarray, batch)
+    loss_1, dets_1, valid_1 = ev1(state, batch_1)
+
+    assert float(loss_sp) == pytest.approx(float(loss_1), rel=1e-5)
+    np.testing.assert_array_equal(np.asarray(valid_sp), np.asarray(valid_1))
+    np.testing.assert_allclose(np.asarray(dets_sp), np.asarray(dets_1),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_fsdp_plus_spatial_composes():
+    """2-D (data=4, space=2) mesh with ZeRO-3 params: dp x sp x fsdp in one
+    step, still bit-for-bit the same training math."""
+    mesh = make_mesh(spatial=2)
+    state = create_train_state(TINY_CFG, jax.random.PRNGKey(0))
+    sh = state_shardings(mesh, state, fsdp=True)
+    state_f = jax.device_put(state, sh)
+    batch = tiny_batch(batch_size=8)
+    rng = jax.random.PRNGKey(1)
+
+    step = make_train_step(TINY_CFG, mesh, donate=False, state_shardings=sh)
+    s_fs, m_fs = step(state_f, shard_batch(batch, mesh), rng)
+    s_1, m_1 = _single_device_step(state, batch, rng)
+
+    assert float(m_fs["loss"]) == pytest.approx(float(m_1["loss"]), rel=1e-5)
+    _assert_state_close(s_fs, s_1)
+
+
+def test_trainer_picks_spatial_mesh():
+    """Trainer wires parallel_options.{spatial,fsdp} into mesh + shardings."""
+    from podtpu.train.trainer import Trainer
+
+    cfg = dict(TINY_CFG)
+    cfg["batch_size"] = 8
+    cfg["parallel_options"] = {"spatial": 2, "fsdp": True}
+    tr = Trainer(cfg, use_mesh=True, eval_only=True, log=lambda *_: None)
+    assert spatial_size(tr.mesh) == 2
+    assert tr.mesh.shape[DATA_AXIS] == 4
+    big = [leaf for leaf in jax.tree_util.tree_leaves(tr.state.params)
+           if leaf.addressable_shards[0].data.shape != leaf.shape]
+    assert big, "Trainer did not apply FSDP shardings"
