@@ -155,6 +155,38 @@ def test_fsdp_plus_spatial_composes():
     _assert_state_close(s_fs, s_1)
 
 
+def test_fsdp_checkpoint_roundtrip(tmp_path):
+    """Orbax save from an FSDP-sharded state; restore into both the same
+    FSDP layout and a replicated layout (checkpoints are layout-portable)."""
+    from podtpu.train.trainer import CheckpointIO
+
+    mesh = make_mesh()
+    state = create_train_state(TINY_CFG, jax.random.PRNGKey(0))
+    sh = state_shardings(mesh, state, fsdp=True)
+    state_f = jax.device_put(state, sh)
+
+    io = CheckpointIO(str(tmp_path / "ckpts"))
+    io.save("fsdp", state_f)
+
+    # fresh differently-seeded state as the restore template, same layouts
+    # (shardings are rebuilt per-state: the tree carries static fields)
+    blank = create_train_state(TINY_CFG, jax.random.PRNGKey(7))
+    sh_b = state_shardings(mesh, blank, fsdp=True)
+    restored_f = io.restore(str(tmp_path / "ckpts" / "fsdp"),
+                            jax.device_put(blank, sh_b))
+    restored_r = io.restore(str(tmp_path / "ckpts" / "fsdp"), blank)
+
+    for orig, rf, rr in zip(jax.tree_util.tree_leaves(state.params),
+                            jax.tree_util.tree_leaves(restored_f.params),
+                            jax.tree_util.tree_leaves(restored_r.params)):
+        np.testing.assert_array_equal(np.asarray(orig), np.asarray(rf))
+        np.testing.assert_array_equal(np.asarray(orig), np.asarray(rr))
+    # the FSDP restore kept its sharded layout
+    big = [leaf for leaf in jax.tree_util.tree_leaves(restored_f.params)
+           if leaf.addressable_shards[0].data.shape != leaf.shape]
+    assert big, "restore dropped the FSDP sharding"
+
+
 def test_trainer_picks_spatial_mesh():
     """Trainer wires parallel_options.{spatial,fsdp} into mesh + shardings."""
     from podtpu.train.trainer import Trainer
