@@ -17,6 +17,12 @@ Options beyond the forward graph:
                        batches (--calib-batches) and export int8 convs
                        (the int8-NPU deployment role; see
                        podtpu/export/quantize.py)
+  --format tflite|savedmodel
+                       export a LiteRT flatbuffer / TF-Serving SavedModel
+                       instead of StableHLO (podtpu/export/tflite.py) —
+                       the interchange formats edge-NPU toolchains ingest;
+                       --quantize int8 becomes full-integer TFLite PTQ and
+                       --quantize dynamic (tflite-only) dynamic-range int8
 """
 
 from __future__ import annotations
@@ -76,8 +82,12 @@ def main():
                     help="fail if the artifact uses non-whitelisted ops")
     ap.add_argument("--annotate", type=str, default=None,
                     help="write per-layer annotation map to this json")
-    ap.add_argument("--quantize", type=str, default=None, choices=["int8"],
-                    help="static PTQ for the artifact (int8 convs)")
+    ap.add_argument("--format", type=str, default="stablehlo",
+                    choices=["stablehlo", "tflite", "savedmodel"])
+    ap.add_argument("--quantize", type=str, default=None,
+                    choices=["int8", "dynamic"],
+                    help="static PTQ for the artifact (int8 convs); "
+                         "'dynamic' = tflite dynamic-range int8")
     ap.add_argument("--calib-batches", type=int, default=8,
                     help="calibration batches for --quantize")
     ap.add_argument("--platforms", type=str, default="cpu,tpu",
@@ -103,6 +113,28 @@ def main():
         print("folded BN stats into conv kernels")
     shape = (args.batch, cfg["input_size"], cfg["input_size"],
              cfg.get("in_channels", 3))
+    if args.format in ("tflite", "savedmodel"):
+        from podtpu.export.tflite import export_savedmodel, export_tflite
+
+        if args.format == "savedmodel":
+            if args.quantize:
+                ap.error("--quantize applies to --format tflite/stablehlo")
+            path = export_savedmodel(model, variables, shape, args.out,
+                                     cfg=cfg,
+                                     with_postprocess=args.with_postprocess)
+        else:
+            rep = (_calibration_batches(cfg, shape, args.calib_batches)
+                   if args.quantize == "int8" else None)
+            path = export_tflite(model, variables, shape, args.out, cfg=cfg,
+                                 with_postprocess=args.with_postprocess,
+                                 quantize=args.quantize, rep_batches=rep)
+        print(f"exported to {path}")
+        if args.annotate or args.validate_npu or args.inspect:
+            ap.error("--annotate/--validate-npu/--inspect operate on "
+                     "StableHLO artifacts (--format stablehlo)")
+        return
+    if args.quantize == "dynamic":
+        ap.error("--quantize dynamic is tflite-only (--format tflite)")
     if args.quantize == "int8":
         from podtpu.export.quantize import quantize_for_serving
 

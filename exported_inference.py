@@ -1,7 +1,12 @@
-"""Benchmark an exported StableHLO artifact (onnx_inference.py:23-51 analog):
+"""Benchmark an exported artifact (onnx_inference.py:23-51 analog):
 load, run over images (or random inputs), print average FPS.
 
     python exported_inference.py --model model.stablehlo [--iters 100]
+    python exported_inference.py --model model.tflite   [--iters 100]
+
+``.tflite`` artifacts run on the TFLite CPU interpreter (the ORT-CPU
+analog — the reference benches its ONNX export on onnxruntime-CPU);
+anything else deserializes as StableHLO on the JAX backend.
 """
 
 from __future__ import annotations
@@ -17,6 +22,26 @@ import numpy as np
 from podtpu.export.stablehlo import inspect_exported, load_exported
 
 
+def bench_tflite(path: str, iters: int) -> None:
+    import tensorflow as tf
+
+    interp = tf.lite.Interpreter(model_path=path)
+    interp.allocate_tensors()
+    (inp,) = interp.get_input_details()
+    dims = [int(d) for d in inp["shape"]]
+    print(f"input: {inp['dtype'].__name__}{dims}")
+    x = np.random.default_rng(0).uniform(0, 1, dims).astype(np.float32)
+    interp.set_tensor(inp["index"], x)
+    interp.invoke()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        interp.set_tensor(inp["index"], x)
+        interp.invoke()
+    dt = time.perf_counter() - t0
+    print(f"avg latency: {1000 * dt / iters:.2f} ms  |  "
+          f"{iters * dims[0] / dt:.1f} FPS (tflite cpu)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", required=True, type=str)
@@ -25,6 +50,10 @@ def main():
                     help="pin JAX backend (e.g. cpu) for local runs")
     args = ap.parse_args()
     setup_platform(args.platform)
+
+    if args.model.endswith(".tflite"):
+        bench_tflite(args.model, args.iters)
+        return
 
     info = inspect_exported(args.model)
     shape_str = info["in_avals"][0]

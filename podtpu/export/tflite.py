@@ -1,0 +1,134 @@
+"""TFLite / TF SavedModel export — the edge-deployment interchange formats.
+
+The reference's deployment chain is torch → ONNX (torch2onnx.py:14-44) →
+an edge-NPU toolchain front-end (onnx2novaonnx_converter.py). podtpu's
+XLA-native artifact is serialized StableHLO (podtpu/export/stablehlo.py);
+this module adds the TF interchange formats edge toolchains ingest
+directly, via jax2tf (weights frozen into the graph, like ONNX
+``export_params=True``):
+
+* **SavedModel** — the TF-Serving / TF-Hub deployment unit.
+* **.tflite flatbuffer** — the LiteRT / edge-NPU delegate format, with
+  optional post-training quantization: ``dynamic`` (int8 weights,
+  float compute) or ``int8`` (full integer PTQ calibrated on a
+  representative dataset — the int8-NPU role the reference's nova
+  converter prepares for).
+
+Both accept the forward graph or the full serving unit (forward + decode +
+padded NMS — the reference's ``DecodeYoloVx`` deployment graph,
+utils/yolov3_utils.py:62-90).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import jax
+import numpy as np
+
+
+def _serving_fn(model, variables, cfg: dict | None,
+                with_postprocess: bool) -> Callable:
+    """The jax callable to export: forward, or forward+decode+NMS."""
+    if not with_postprocess:
+        return lambda x: model.apply(variables, x, train=False)
+
+    from podtpu.ops.nms import batched_class_aware_nms
+    from podtpu.train.steps import make_decoder
+
+    decoder = make_decoder(cfg)
+    conf_t = float(cfg.get("conf_threshold", 0.25))
+    iou_t = float(cfg.get("nms_iou_threshold", 0.45))
+    top_k = int(cfg.get("top_k_candidates", 512))
+    max_det = int(cfg.get("max_detections", 100))
+
+    def serve(x):
+        preds = model.apply(variables, x, train=False)
+        boxes = decoder(preds)
+        return batched_class_aware_nms(boxes, conf_t, iou_t, top_k=top_k,
+                                       max_detections=max_det)
+
+    return serve
+
+
+def _concrete_function(fn: Callable, input_shape):
+    from jax.experimental import jax2tf
+    import tensorflow as tf
+
+    tf_fn = tf.function(
+        jax2tf.convert(jax.jit(fn)),
+        input_signature=[tf.TensorSpec(input_shape, tf.float32, name="image")],
+        autograph=False,
+    )
+    return tf_fn, tf_fn.get_concrete_function()
+
+
+def export_savedmodel(model, variables, input_shape, path: str,
+                      cfg: dict | None = None,
+                      with_postprocess: bool = False) -> str:
+    """Write a TF SavedModel directory with a ``serving_default`` signature."""
+    import tensorflow as tf
+
+    fn = _serving_fn(model, variables, cfg, with_postprocess)
+    tf_fn, concrete = _concrete_function(fn, input_shape)
+    module = tf.Module()
+    module.serve = tf_fn
+    tf.saved_model.save(
+        module, path, signatures={"serving_default": concrete})
+    return path
+
+
+def export_tflite(model, variables, input_shape, path: str,
+                  cfg: dict | None = None,
+                  with_postprocess: bool = False,
+                  quantize: str | None = None,
+                  rep_batches: Iterable[np.ndarray] | None = None) -> str:
+    """Write a .tflite flatbuffer.
+
+    ``quantize``: ``None`` = float32; ``"dynamic"`` = dynamic-range int8
+    weights; ``"int8"`` = full integer PTQ — requires ``rep_batches``
+    (an iterable of float32 input arrays of ``input_shape``) to calibrate
+    activation ranges. Ops the quantizer cannot lower to int8 (e.g. the
+    NMS sort/while control flow in --with-postprocess graphs) keep float
+    fallback kernels, matching the int8-conv/float-head split of the
+    StableHLO int8 path (podtpu/export/quantize.py).
+    """
+    import tensorflow as tf
+
+    fn = _serving_fn(model, variables, cfg, with_postprocess)
+    tf_fn, concrete = _concrete_function(fn, input_shape)
+    converter = tf.lite.TFLiteConverter.from_concrete_functions(
+        [concrete], trackable_obj=tf_fn)
+    if quantize == "dynamic":
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+    elif quantize == "int8":
+        if rep_batches is None:
+            raise ValueError("int8 PTQ needs rep_batches for calibration")
+        batches = [np.asarray(b, np.float32) for b in rep_batches]
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+        converter.representative_dataset = lambda: ([b] for b in batches)
+    elif quantize is not None:
+        raise ValueError(f"unknown quantize mode '{quantize}' "
+                         "(expected dynamic | int8)")
+    data = converter.convert()
+    with open(path, "wb") as f:
+        f.write(data)
+    return path
+
+
+def run_tflite(path: str, x: np.ndarray):
+    """Execute a .tflite artifact on the TFLite CPU interpreter.
+
+    Returns a single array or a tuple matching the exported outputs —
+    used by tests for artifact/eval-step parity and by
+    exported_inference.py for FPS benchmarking.
+    """
+    import tensorflow as tf
+
+    interp = tf.lite.Interpreter(model_path=path)
+    interp.allocate_tensors()
+    (inp,) = interp.get_input_details()
+    interp.set_tensor(inp["index"], np.asarray(x, np.float32))
+    interp.invoke()
+    outs = [interp.get_tensor(d["index"]) for d in interp.get_output_details()]
+    return outs[0] if len(outs) == 1 else tuple(outs)
