@@ -22,6 +22,7 @@ from typing import Callable
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 
 class BatchNormMixed(nn.Module):
@@ -60,6 +61,10 @@ class BatchNormMixed(nn.Module):
             x32 = x.astype(jnp.float32)
             mean = jnp.mean(x32, axis=(0, 1, 2))
             var = jnp.mean(jnp.square(x32), axis=(0, 1, 2)) - jnp.square(mean)
+            # [C]-sized; saving them under PODTPU_REMAT avoids re-reducing
+            # the full conv output when the backward recomputes BN-apply.
+            mean = checkpoint_name(mean, "bn_stats")
+            var = checkpoint_name(var, "bn_stats")
             if not self.is_initializing():
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1.0 - self.momentum) * mean)
@@ -185,10 +190,15 @@ class ConvBnAct(nn.Module):
                 param_dtype=jnp.float32,
                 name="conv",
             )(x)
+        # Remat-policy anchors (no-ops unless the train step wraps the
+        # forward in jax.checkpoint with a name-based policy — see
+        # podtpu/train/steps.py::remat_policy): "conv_out" = the pre-BN
+        # conv output, "post_act" = the block output.
+        x = checkpoint_name(x, "conv_out")
         x = BatchNormMixed(dtype=self.dtype, name="bn")(x, train)
         if self.act is not None:
             x = self.act(x)
-        return x.astype(self.dtype)
+        return checkpoint_name(x.astype(self.dtype), "post_act")
 
 
 class HeadConv(nn.Module):

@@ -59,6 +59,40 @@ def compiler_options(cfg: dict) -> dict | None:
     return {k: str(v) for k, v in opts.items()} or None
 
 
+def remat_policy(cfg: dict):
+    """Fine-grained rematerialization policy for the train-step forward.
+
+    Unlike the coarse ``remat_backbone`` (recompute whole stages, incl.
+    their convs — measured dead end, RESULTS.md), these policies recompute
+    only *elementwise* work (BN-apply/activation) in the backward, keyed on
+    the ``checkpoint_name`` anchors in :class:`podtpu.models.layers.ConvBnAct`:
+
+    * ``conv_out`` — save only pre-BN conv outputs (+ the [C]-sized BN batch
+      stats); the post-activation tensors the default AD would also keep are
+      recomputed from them (a bf16 multiply-add + act, fusable into the
+      consuming gradient ops).
+    * ``no_post_act`` — save everything the default would *except* the
+      post-activation tensors (more conservative; pool/concat/head
+      intermediates stay saved).
+
+    Selected by env ``PODTPU_REMAT`` or cfg ``remat_policy``; default off
+    (empty) = stock AD residual choice.
+    """
+    import os
+
+    name = os.environ.get("PODTPU_REMAT", cfg.get("remat_policy") or "")
+    if not name:
+        return None
+    if name == "conv_out":
+        return jax.checkpoint_policies.save_only_these_names(
+            "conv_out", "bn_stats")
+    if name == "no_post_act":
+        return jax.checkpoint_policies.save_anything_except_these_names(
+            "post_act")
+    raise ValueError(f"unknown remat policy '{name}' "
+                     "(expected conv_out | no_post_act)")
+
+
 def _as_input(img: jnp.ndarray) -> jnp.ndarray:
     """Accept uint8 batches (host ships raw bytes; 4x less H2D) or
     pre-normalized floats."""
@@ -103,6 +137,7 @@ def make_train_step(cfg: dict, mesh=None, donate: bool = True,
     from podtpu.data.device_aug import make_device_augment
 
     device_aug = make_device_augment(cfg)
+    policy = remat_policy(cfg)
 
     def train_step(state, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -112,14 +147,20 @@ def make_train_step(cfg: dict, mesh=None, donate: bool = True,
                                     batch["annot"])
             batch = {"img": img, "annot": annot}
 
-        def objective(params):
-            preds, updates = state.apply_fn(
+        def forward(params, img):
+            return state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
-                _as_input(batch["img"]),
+                img,
                 train=True,
                 mutable=["batch_stats"],
                 rngs={"dropout": step_rng},
             )
+
+        if policy is not None:
+            forward = jax.checkpoint(forward, policy=policy)
+
+        def objective(params):
+            preds, updates = forward(params, _as_input(batch["img"]))
             loss = loss_fn(preds, batch["annot"])
             return loss, updates
 

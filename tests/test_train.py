@@ -81,6 +81,25 @@ def test_train_step_decreases_loss(state):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("policy", ["conv_out", "no_post_act"])
+def test_remat_policy_step_parity(state, policy):
+    """Fine-grained remat (recompute BN-apply/act in backward from saved
+    conv outputs — steps.py::remat_policy) only reschedules work; the step
+    must be bit-identical to the default AD residual choice."""
+    batch = jax.tree_util.tree_map(jnp.asarray, tiny_batch())
+    rng = jax.random.PRNGKey(1)
+    s_ref, m_ref = make_train_step(TINY_CFG, mesh=None, donate=False)(
+        state, batch, rng)
+    cfg = dict(TINY_CFG, remat_policy=policy)
+    s_pol, m_pol = make_train_step(cfg, mesh=None, donate=False)(
+        state, batch, rng)
+    assert float(m_pol["loss"]) == float(m_ref["loss"])
+    for a, b in zip(jax.tree_util.tree_leaves(s_pol.params),
+                    jax.tree_util.tree_leaves(s_ref.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
 def test_batch_stats_update(state):
     step = make_train_step(TINY_CFG, mesh=None, donate=False)
     batch = jax.tree_util.tree_map(jnp.asarray, tiny_batch())
