@@ -396,6 +396,70 @@ def replicate(im: np.ndarray, boxes: np.ndarray,
     return im, boxes
 
 
+def bbox_ioa(box: np.ndarray, boxes: np.ndarray,
+             eps: float = 1e-7) -> np.ndarray:
+    """Intersection of ``box`` with each of ``boxes``, over the *boxes* area.
+
+    Same statistic as the reference's occlusion gate
+    (utils/metrics.py:258-281): how much of each existing label the
+    candidate rectangle would cover. All boxes are x1y1x2y2.
+    """
+    if boxes.shape[0] == 0:
+        return np.zeros((0,), np.float32)
+    iw = (np.minimum(box[2], boxes[:, 2])
+          - np.maximum(box[0], boxes[:, 0])).clip(0)
+    ih = (np.minimum(box[3], boxes[:, 3])
+          - np.maximum(box[1], boxes[:, 1])).clip(0)
+    area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]) + eps
+    return iw * ih / area
+
+
+def copy_paste(im: np.ndarray, boxes: np.ndarray, segments: list,
+               rng: np.random.Generator, p: float = 0.5):
+    """Mirror copy-paste (arXiv:2012.07177, the simplified mirror variant
+    the reference wires into its mosaic path —
+    dataset/detection/augmentations.py:213-234, datasets.py:230).
+
+    A ``round(p * n)`` random sample of polygon-labelled objects is
+    considered; each candidate's horizontally-mirrored footprint is
+    accepted only if it covers every label placed so far by < 30% IoA.
+    Accepted objects have their pixels mirrored across the vertical axis
+    onto the image, and a mirrored label + polygon appended.
+
+    ``boxes``: [n, 5] ``[cls, x1, y1, x2, y2]`` pixel rows (the letterbox
+    mid-format); ``segments``: list of [k, 2] xy polygons, one per row.
+    Returns ``(im, boxes, segments)``. With no polygons this is a no-op —
+    exactly the reference's behavior on yolo-txt data, whose 5-field label
+    files carry no segmentation (datasets.py::_get_labels); podtpu's
+    dataset therefore synthesizes rectangle polygons when the cfg knob is
+    set (see ``Dataset._mosaic_sample``) so the knob is actually usable.
+    """
+    n = len(segments)
+    if not p or not n:
+        return im, boxes, segments
+    h, w = im.shape[:2]
+    mask = np.zeros((h, w), np.uint8)
+    segments = list(segments)
+    any_accepted = False
+    for j in rng.permutation(n)[: round(p * n)]:
+        cls, x1, y1, x2, y2 = boxes[j]
+        mirrored = np.array([w - x2, y1, w - x1, y2], boxes.dtype)
+        if (bbox_ioa(mirrored, boxes[:, 1:5]) < 0.30).all():
+            boxes = np.concatenate(
+                [boxes, [[cls, *mirrored]]], axis=0).astype(boxes.dtype)
+            seg = segments[j]
+            segments.append(
+                np.concatenate([w - seg[:, :1], seg[:, 1:2]], axis=1))
+            cv2.fillPoly(mask, [segments[j].astype(np.int32)], 255)
+            any_accepted = True
+    if any_accepted:
+        donor = cv2.flip(cv2.bitwise_and(im, im, mask=mask), 1)
+        keep = donor > 0
+        im = im.copy()
+        im[keep] = donor[keep]
+    return im, boxes, segments
+
+
 def hflip(im: np.ndarray, boxes: np.ndarray):
     """Horizontal flip; boxes normalized [cx, cy, w, h, cls]."""
     im = np.ascontiguousarray(im[:, ::-1])

@@ -45,6 +45,7 @@ def label_path_for(img_path: str) -> str:
 class YoloTxtDataset:
     def __init__(self, list_file: str, input_size: int, augment: bool,
                  pipeline: str = "letterbox", mosaic: float = 0.0,
+                 copy_paste: float = 0.0,
                  cache_images: bool = False, output_uint8: bool = False,
                  photometric: bool = True):
         with open(list_file, "r") as f:
@@ -56,6 +57,11 @@ class YoloTxtDataset:
         # 4-image mosaic probability (the reference defines load_mosaic but
         # never wires it — datasets.py:185-239; here it's opt-in via cfg)
         self.mosaic = mosaic
+        # mirror copy-paste probability on the mosaic canvas (the reference
+        # calls copy_paste(p=hyp) there — datasets.py:230 — but its 5-field
+        # yolo-txt labels carry no polygons, so it no-ops; podtpu makes the
+        # knob usable by synthesizing rectangle polygons from the boxes)
+        self.copy_paste = copy_paste
         # opt-in in-RAM cache of decoded+pre-resized images (+ labels): JPEG
         # decode dominates the host pipeline once the device step is fast
         # (~390 KB/img at 416 -> ~5.5 GB for VOC-scale sets; enable via
@@ -109,6 +115,14 @@ class YoloTxtDataset:
             imgs.append(im)
             boxes_px.append(b)
         canvas, boxes = A.mosaic4(imgs, boxes_px, size, rng)
+        if self.copy_paste > 0 and len(boxes):
+            # yolo-txt labels have no polygons: rectangle segments make the
+            # reference's (structurally no-op) copy_paste hook effective
+            segs = [np.array([[b[1], b[2]], [b[3], b[2]],
+                              [b[3], b[4]], [b[1], b[4]]], np.float32)
+                    for b in boxes]
+            canvas, boxes, _ = A.copy_paste(canvas, boxes, segs, rng,
+                                            p=self.copy_paste)
         # the affine CROPS the 2S canvas down to S via border=-S/2 — the
         # reference's random_perspective(border=mosaic_border) semantics
         # (datasets.py:231-239, augmentations.py:124-133)
@@ -241,6 +255,7 @@ def build_datasets(cfg: dict):
     photometric = not bool(cfg.get("device_augment", False))
     train = YoloTxtDataset(cfg["train_list"], cfg["input_size"], True,
                            pipeline, mosaic=float(cfg.get("mosaic", 0.0)),
+                           copy_paste=float(cfg.get("copy_paste", 0.0)),
                            cache_images=cache, output_uint8=u8,
                            photometric=photometric)
     val = YoloTxtDataset(cfg["val_list"], cfg["input_size"], False, pipeline,

@@ -458,3 +458,63 @@ def test_replicate_empty_boxes_noop():
     boxes = np.zeros((0, 5), np.float32)
     out_im, out_boxes = replicate(im, boxes, np.random.default_rng(0))
     assert out_boxes.shape == (0, 5)
+
+
+def test_copy_paste_mirrors_object():
+    """Parity with the reference's mirror copy-paste
+    (augmentations.py:213-234): accepted objects get their pixels mirrored
+    across the vertical axis and a mirrored label + polygon appended."""
+    from podtpu.data.augment import copy_paste
+
+    rng = np.random.default_rng(3)
+    im = np.full((100, 100, 3), 30, np.uint8)
+    im[20:40, 10:30] = (200, 150, 90)  # the object, on the left half
+    boxes = np.array([[2, 10, 20, 30, 40]], np.float32)
+    segs = [np.array([[10, 20], [30, 20], [30, 40], [10, 40]], np.float32)]
+    out_im, out_boxes, out_segs = copy_paste(im.copy(), boxes, segs, rng, p=1.0)
+    assert out_boxes.shape[0] == 2 and len(out_segs) == 2
+    cls, x1, y1, x2, y2 = out_boxes[1]
+    assert cls == 2
+    assert (x1, y1, x2, y2) == (70, 20, 90, 40)  # w - x2, y1, w - x1, y2
+    # mirrored pixels really pasted (interior, away from rasterized edges)
+    np.testing.assert_array_equal(out_im[25:35, 75:85],
+                                  np.broadcast_to((200, 150, 90), (10, 10, 3)))
+    # source pixels untouched
+    np.testing.assert_array_equal(out_im[20:40, 10:30], im[20:40, 10:30])
+    # mirrored polygon: x -> w - x
+    np.testing.assert_allclose(out_segs[1][:, 0], 100 - segs[0][:, 0])
+    np.testing.assert_allclose(out_segs[1][:, 1], segs[0][:, 1])
+
+
+def test_copy_paste_ioa_gate_and_noop():
+    """A mirrored footprint covering an existing label >= 30% IoA is
+    rejected; and with no segments the call is a no-op (the reference's
+    behavior on 5-field yolo-txt labels)."""
+    from podtpu.data.augment import copy_paste
+
+    rng = np.random.default_rng(0)
+    im = np.zeros((100, 100, 3), np.uint8)
+    # object on the left whose mirror lands exactly on an existing label
+    boxes = np.array([[0, 10, 20, 30, 40], [1, 70, 20, 90, 40]], np.float32)
+    segs = [np.array([[10, 20], [30, 20], [30, 40], [10, 40]], np.float32),
+            np.array([[70, 20], [90, 20], [90, 40], [70, 40]], np.float32)]
+    out_im, out_boxes, _ = copy_paste(im.copy(), boxes, segs, rng, p=1.0)
+    # box 0's mirror fully covers box 1 (IoA 1.0) -> rejected; box 1's
+    # mirror fully covers box 0 -> rejected
+    assert out_boxes.shape[0] == 2
+    np.testing.assert_array_equal(out_im, im)
+
+    out_im, out_boxes, out_segs = copy_paste(im, boxes, [], rng, p=1.0)
+    assert out_boxes.shape[0] == 2 and out_segs == []
+
+
+def test_copy_paste_mosaic_knob(synth):
+    """cfg copy_paste wires mirror-paste into the mosaic path with
+    synthesized rectangle polygons; samples stay well-formed."""
+    ds = YoloTxtDataset(synth["train_list"], 64, True, "letterbox",
+                        mosaic=1.0, copy_paste=0.9)
+    for i in range(4):
+        im, ann = ds.get(i, seed=100 + i)
+        assert im.shape == (64, 64, 3)
+        if len(ann):
+            assert np.all(ann[:, :4] >= 0) and np.all(ann[:, :4] <= 1)
