@@ -73,7 +73,24 @@ def build_optimizer(cfg: dict, params) -> optax.GradientTransformation:
     accum = accum_steps(cfg)
     if accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    skip = int(dict(cfg.get("optimizer_options", {}))
+               .get("skip_nonfinite", 0) or 0)
+    if skip > 0:
+        # failure detection without a host sync: a non-finite update (loss
+        # spike/overflow, e.g. the exp(wh) path) is dropped on device and
+        # counted; after `skip` consecutive bad steps the update applies
+        # anyway so the NaN surfaces instead of training silently stalling.
+        # The Trainer logs the running count (`skipped_nonfinite_updates`).
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=skip)
     return tx
+
+
+def total_notfinite(opt_state) -> int | None:
+    """Running count of dropped non-finite updates, or None when the
+    ``optimizer_options.skip_nonfinite`` guard is not active."""
+    if isinstance(opt_state, optax.ApplyIfFiniteState):
+        return int(jax.device_get(opt_state.total_notfinite))
+    return None
 
 
 def accum_steps(cfg: dict) -> int:

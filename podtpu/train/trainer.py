@@ -58,17 +58,32 @@ def make_run_dir(cfg: dict) -> str:
 
 
 class CheckpointIO:
-    """Orbax-backed save/restore of the train state's array pytree."""
+    """Orbax-backed save/restore of the train state's array pytree.
 
-    def __init__(self, ckpt_dir: str):
+    ``async_save=True`` (cfg ``async_checkpoint``) overlaps the disk write
+    with the next training epoch: orbax's StandardCheckpointer is an
+    AsyncCheckpointer, whose ``save`` copies device arrays to host memory
+    synchronously (so the train step may donate/overwrite the buffers
+    immediately after) and commits to storage in a background thread. The
+    blocking ``wait_until_finished`` after every save is what the flag
+    removes; pending writes are drained before the next save, before any
+    restore, and at the end of ``Trainer.fit``.
+    """
+
+    def __init__(self, ckpt_dir: str, async_save: bool = False):
         import orbax.checkpoint as ocp
 
         self._ckpt_dir = os.path.abspath(ckpt_dir)
         os.makedirs(self._ckpt_dir, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
+        self._async = async_save
 
     def _path(self, name: str) -> str:
         return os.path.join(self._ckpt_dir, name)
+
+    def wait(self):
+        """Block until any pending async save has committed to disk."""
+        self._ckptr.wait_until_finished()
 
     def save(self, name: str, state: TrainState):
         payload = {
@@ -77,11 +92,16 @@ class CheckpointIO:
             "opt_state": state.opt_state,
             "step": state.step,
         }
+        # a still-pending previous save must finish before its directory
+        # can be replaced (force=True deletes the target first)
+        self.wait()
         self._ckptr.save(self._path(name), payload, force=True)
-        self._ckptr.wait_until_finished()
+        if not self._async:
+            self.wait()
 
     def restore(self, path: str, state: TrainState) -> TrainState:
         """Restore arrays from ``path`` into the (freshly created) state."""
+        self.wait()
         template = {
             "params": state.params,
             "batch_stats": state.batch_stats,
@@ -150,7 +170,9 @@ class Trainer:
         # run directories or checkpoint writers
         self.run_dir = None if eval_only else (run_dir or make_run_dir(cfg))
         self.ckpt = (None if eval_only else
-                     CheckpointIO(os.path.join(self.run_dir, "checkpoints")))
+                     CheckpointIO(os.path.join(self.run_dir, "checkpoints"),
+                                  async_save=bool(
+                                      cfg.get("async_checkpoint", False))))
         self._writer = None
         self.history: list[dict] = []
         self.log(
@@ -262,6 +284,17 @@ class Trainer:
             self.writer.add_scalar("images_per_sec", ips, step)
             row = {"epoch": epoch, "step": step, "train_loss": train_loss,
                    "lr": lr, "images_per_sec": ips}
+            from podtpu.train.optim import total_notfinite
+
+            skipped = total_notfinite(self.state.opt_state)
+            if skipped is not None:
+                self.writer.add_scalar("skipped_nonfinite_updates", skipped,
+                                       step)
+                row["skipped_updates"] = skipped
+                if skipped:
+                    self.log(f"WARNING: {skipped} non-finite update(s) "
+                             "dropped so far (optimizer_options."
+                             "skip_nonfinite guard)")
 
             if (epoch + 1) % val_every == 0:
                 val = self.validate(val_loader)
@@ -322,6 +355,7 @@ class Trainer:
             self.ckpt.save("swa", swa_state)
             self.log(f"saved SWA weights (averaged over {swa_count} epochs, "
                      f"BN recalibrated over {n_recal} batches)")
+        self.ckpt.wait()  # drain any pending async checkpoint write
         self.writer.flush()
         self.log(f"fit done in {time.time() - t_start:.1f}s")
         return self.history

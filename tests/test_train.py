@@ -155,3 +155,57 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_skip_nonfinite_guard():
+    """optimizer_options.skip_nonfinite: non-finite updates are dropped on
+    device and counted; past the consecutive limit they apply (NaN surfaces
+    instead of a silent stall)."""
+    import optax
+
+    from podtpu.train.optim import build_optimizer, total_notfinite
+
+    cfg = {"optimizer": "sgd",
+           "optimizer_options": {"lr": 0.1, "skip_nonfinite": 2},
+           "scheduler": "multi_step",
+           "scheduler_options": {"milestones": [1000], "gamma": 0.1},
+           "epochs": 1}
+    params = {"w": jnp.ones((4,))}
+    tx = build_optimizer(cfg, params)
+    state = tx.init(params)
+    assert total_notfinite(state) == 0
+
+    good = {"w": jnp.full((4,), 0.5)}
+    bad = {"w": jnp.full((4,), jnp.nan)}
+
+    up, state = tx.update(good, state, params)
+    params = optax.apply_updates(params, up)
+    assert np.isfinite(np.asarray(params["w"])).all()
+
+    up, state = tx.update(bad, state, params)
+    params2 = optax.apply_updates(params, up)
+    # dropped: params unchanged, counter advanced
+    np.testing.assert_array_equal(np.asarray(params2["w"]),
+                                  np.asarray(params["w"]))
+    assert total_notfinite(state) == 1
+
+    # a finite step resets the consecutive count
+    up, state = tx.update(good, state, params2)
+    params3 = optax.apply_updates(params2, up)
+    assert np.isfinite(np.asarray(params3["w"])).all()
+
+    # beyond `skip` consecutive failures the update applies -> NaN surfaces
+    p = params3
+    for _ in range(3):
+        up, state = tx.update(bad, state, p)
+        p = optax.apply_updates(p, up)
+    assert not np.isfinite(np.asarray(p["w"])).all()
+    assert total_notfinite(state) >= 3
+
+    # without the knob the helper reports None (guard inactive)
+    cfg2 = {"optimizer": "sgd", "optimizer_options": {"lr": 0.1},
+            "scheduler": "multi_step",
+            "scheduler_options": {"milestones": [1000], "gamma": 0.1},
+            "epochs": 1}
+    tx2 = build_optimizer(cfg2, {"w": jnp.ones((4,))})
+    assert total_notfinite(tx2.init({"w": jnp.ones((4,))})) is None

@@ -178,3 +178,51 @@ def test_swa_checkpoint(setup):
     assert all(np.isfinite(np.asarray(l)).all() for l in swa_leaves)
     assert any(not np.allclose(np.asarray(a), np.asarray(b))
                for a, b in zip(swa_leaves, last_leaves))
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """cfg async_checkpoint: saves return without blocking on the disk
+    commit; wait() drains, and the restored state is identical."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from podtpu.train.state import TrainState
+    from podtpu.train.trainer import CheckpointIO
+
+    def mk_state(seed):
+        k = jax.random.PRNGKey(seed)
+        params = {"w": jax.random.normal(k, (8, 8)), "b": jnp.zeros((8,))}
+        return TrainState.create(
+            apply_fn=lambda *a, **kw: None, params=params,
+            tx=optax.sgd(1e-3), batch_stats={"m": jnp.ones((8,))},
+        )
+
+    io = CheckpointIO(str(tmp_path / "ck"), async_save=True)
+    state = mk_state(0).replace(step=7)
+    io.save("last", state)
+    io.save("best", state)  # waits for "last" internally, then overlaps
+    io.wait()
+    restored = io.restore(str(tmp_path / "ck" / "last"), mk_state(1))
+    assert int(restored.step) == 7
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_fit_with_async_checkpoint(setup):
+    """End-to-end fit with async_checkpoint: all checkpoints land and are
+    restorable after fit returns (fit drains pending writes)."""
+    cfg = dict(setup)
+    cfg["async_checkpoint"] = True
+    train_loader, val_loader = _loaders(cfg)
+    trainer = Trainer(cfg, log=lambda *_: None)
+    trainer.fit(train_loader, val_loader, epochs=2)
+    ckpt_dir = os.path.join(trainer.run_dir, "checkpoints")
+    for name in ("last", "best", "epoch_0000"):
+        assert os.path.isdir(os.path.join(ckpt_dir, name))
+    trainer2 = Trainer(cfg, log=lambda *_: None)
+    trainer2.state = trainer2.ckpt.restore(
+        os.path.join(ckpt_dir, "last"), trainer2.state)
+    assert int(trainer2.state.step) == int(trainer.state.step) > 0
