@@ -99,6 +99,24 @@ class CheckpointIO:
         if not self._async:
             self.wait()
 
+    def prune_periodic(self, keep: int):
+        """Keep only the newest ``keep`` periodic ``epoch_*`` checkpoints
+        (cfg ``keep_checkpoints``; ``last``/``best``/``swa`` are never
+        pruned). Only directories other than the newest are removed, so a
+        pending async commit of the newest is never touched."""
+        import shutil
+
+        if keep <= 0:
+            return
+        epochs = sorted(
+            d for d in os.listdir(self._ckpt_dir)
+            if d.startswith("epoch_")
+            and os.path.isdir(os.path.join(self._ckpt_dir, d))
+        )
+        for d in epochs[:-keep]:
+            shutil.rmtree(os.path.join(self._ckpt_dir, d),
+                          ignore_errors=True)
+
     def restore(self, path: str, state: TrainState) -> TrainState:
         """Restore arrays from ``path`` into the (freshly created) state."""
         self.wait()
@@ -335,6 +353,7 @@ class Trainer:
             self.ckpt.save("last", self.state)
             if (epoch + 1) % save_freq == 0:
                 self.ckpt.save(f"epoch_{epoch:04d}", self.state)
+                self.ckpt.prune_periodic(int(cfg.get("keep_checkpoints", 0)))
 
             self.history.append(row)
             self.log(

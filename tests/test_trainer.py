@@ -226,3 +226,19 @@ def test_fit_with_async_checkpoint(setup):
     trainer2.state = trainer2.ckpt.restore(
         os.path.join(ckpt_dir, "last"), trainer2.state)
     assert int(trainer2.state.step) == int(trainer.state.step) > 0
+
+
+@pytest.mark.slow
+def test_keep_checkpoints_retention(setup):
+    """cfg keep_checkpoints: only the newest N periodic epoch_* checkpoints
+    survive; last/best are never pruned."""
+    cfg = dict(setup)
+    cfg["keep_checkpoints"] = 1
+    train_loader, val_loader = _loaders(cfg)
+    trainer = Trainer(cfg, log=lambda *_: None)
+    trainer.fit(train_loader, val_loader, epochs=3)
+    ckpt_dir = os.path.join(trainer.run_dir, "checkpoints")
+    epochs = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("epoch_"))
+    assert epochs == ["epoch_0002"]
+    assert os.path.isdir(os.path.join(ckpt_dir, "last"))
+    assert os.path.isdir(os.path.join(ckpt_dir, "best"))
