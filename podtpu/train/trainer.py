@@ -27,6 +27,7 @@ import numpy as np
 from podtpu.config import make_model_name
 from podtpu.metrics import MeanAveragePrecision
 from podtpu.parallel.mesh import make_mesh, shard_batch
+from podtpu.train.optim import total_notfinite
 from podtpu.train.schedule import build_schedule
 from podtpu.train.state import TrainState, create_train_state, param_count
 from podtpu.train.steps import make_eval_step, make_train_step
@@ -64,26 +65,37 @@ class CheckpointIO:
     with the next training epoch: orbax's StandardCheckpointer is an
     AsyncCheckpointer, whose ``save`` copies device arrays to host memory
     synchronously (so the train step may donate/overwrite the buffers
-    immediately after) and commits to storage in a background thread. The
-    blocking ``wait_until_finished`` after every save is what the flag
-    removes; pending writes are drained before the next save, before any
-    restore, and at the end of ``Trainer.fit``.
+    immediately after) and commits to storage in a background thread. One
+    checkpointer per target name ("last"/"best"/"swa"/periodic) lets the
+    epoch's multiple saves all overlap — only an overwrite of the SAME
+    target drains that target's pending commit first. ``wait`` drains all
+    targets; it runs before any restore and at the end of ``Trainer.fit``.
     """
 
     def __init__(self, ckpt_dir: str, async_save: bool = False):
-        import orbax.checkpoint as ocp
-
         self._ckpt_dir = os.path.abspath(ckpt_dir)
         os.makedirs(self._ckpt_dir, exist_ok=True)
-        self._ckptr = ocp.StandardCheckpointer()
+        self._ckptrs: dict[str, object] = {}
         self._async = async_save
 
     def _path(self, name: str) -> str:
         return os.path.join(self._ckpt_dir, name)
 
+    def _ckptr_for(self, name: str):
+        # periodic epoch_* saves share one checkpointer (distinct dirs, so
+        # serializing consecutive periodic commits is harmless and the dict
+        # stays bounded); the named targets each get their own
+        import orbax.checkpoint as ocp
+
+        key = name if name in ("last", "best", "swa") else "periodic"
+        if key not in self._ckptrs:
+            self._ckptrs[key] = ocp.StandardCheckpointer()
+        return self._ckptrs[key]
+
     def wait(self):
-        """Block until any pending async save has committed to disk."""
-        self._ckptr.wait_until_finished()
+        """Block until every pending async save has committed to disk."""
+        for ckptr in self._ckptrs.values():
+            ckptr.wait_until_finished()
 
     def save(self, name: str, state: TrainState):
         payload = {
@@ -92,28 +104,37 @@ class CheckpointIO:
             "opt_state": state.opt_state,
             "step": state.step,
         }
-        # a still-pending previous save must finish before its directory
-        # can be replaced (force=True deletes the target first)
-        self.wait()
-        self._ckptr.save(self._path(name), payload, force=True)
+        ckptr = self._ckptr_for(name)
+        # a still-pending previous save of this target must finish before
+        # its directory can be replaced (force=True deletes the target
+        # first); other targets' pending commits keep overlapping
+        ckptr.wait_until_finished()
+        ckptr.save(self._path(name), payload, force=True)
         if not self._async:
-            self.wait()
+            ckptr.wait_until_finished()
 
     def prune_periodic(self, keep: int):
-        """Keep only the newest ``keep`` periodic ``epoch_*`` checkpoints
+        """Keep only the newest ``keep`` periodic ``epoch_<n>`` checkpoints
         (cfg ``keep_checkpoints``; ``last``/``best``/``swa`` are never
-        pruned). Only directories other than the newest are removed, so a
-        pending async commit of the newest is never touched."""
+        pruned). Only fully committed directories are considered — orbax's
+        in-flight ``*.orbax-checkpoint-tmp*`` directories are excluded, so
+        a pending async commit is neither deleted nor counted as the newest
+        (which would otherwise prune the last durable checkpoint before its
+        replacement exists). Consequence under ``async_checkpoint``: up to
+        ``keep + 1`` periodic directories exist transiently, until the
+        in-flight newest commits. Newness is the parsed epoch number, not
+        the name string (lexicographic order inverts past epoch 9999)."""
+        import re
         import shutil
 
         if keep <= 0:
             return
-        epochs = sorted(
-            d for d in os.listdir(self._ckpt_dir)
-            if d.startswith("epoch_")
-            and os.path.isdir(os.path.join(self._ckpt_dir, d))
-        )
-        for d in epochs[:-keep]:
+        committed = []
+        for d in os.listdir(self._ckpt_dir):
+            m = re.fullmatch(r"epoch_(\d+)", d)
+            if m and os.path.isdir(os.path.join(self._ckpt_dir, d)):
+                committed.append((int(m.group(1)), d))
+        for _, d in sorted(committed)[:-keep]:
             shutil.rmtree(os.path.join(self._ckpt_dir, d),
                           ignore_errors=True)
 
@@ -126,7 +147,8 @@ class CheckpointIO:
             "opt_state": state.opt_state,
             "step": state.step,
         }
-        payload = self._ckptr.restore(os.path.abspath(path), template)
+        payload = self._ckptr_for("restore").restore(
+            os.path.abspath(path), template)
         return state.replace(
             params=payload["params"],
             batch_stats=payload["batch_stats"],
@@ -302,8 +324,6 @@ class Trainer:
             self.writer.add_scalar("images_per_sec", ips, step)
             row = {"epoch": epoch, "step": step, "train_loss": train_loss,
                    "lr": lr, "images_per_sec": ips}
-            from podtpu.train.optim import total_notfinite
-
             skipped = total_notfinite(self.state.opt_state)
             if skipped is not None:
                 self.writer.add_scalar("skipped_nonfinite_updates", skipped,

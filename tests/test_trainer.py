@@ -242,3 +242,22 @@ def test_keep_checkpoints_retention(setup):
     assert epochs == ["epoch_0002"]
     assert os.path.isdir(os.path.join(ckpt_dir, "last"))
     assert os.path.isdir(os.path.join(ckpt_dir, "best"))
+
+
+def test_prune_periodic_excludes_tmp_and_sorts_numerically(tmp_path):
+    """Prune must skip orbax in-flight tmp dirs (an uncommitted async save
+    is neither deleted nor counted as newest) and order by parsed epoch
+    number (lexicographic inverts past epoch 9999)."""
+    from podtpu.train.trainer import CheckpointIO
+
+    io = CheckpointIO(str(tmp_path / "ck"))
+    d = tmp_path / "ck"
+    for name in ("epoch_0001", "epoch_9999", "epoch_10000",
+                 "epoch_10000.orbax-checkpoint-tmp-123", "last", "best"):
+        (d / name).mkdir()
+    io.prune_periodic(1)
+    left = set(os.listdir(d))
+    assert "epoch_10000" in left            # numeric newest kept
+    assert "epoch_9999" not in left and "epoch_0001" not in left
+    assert "epoch_10000.orbax-checkpoint-tmp-123" in left  # in-flight safe
+    assert {"last", "best"} <= left

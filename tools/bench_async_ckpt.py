@@ -1,10 +1,13 @@
 """A/B the async-checkpoint overlap (cfg ``async_checkpoint``) on real runs.
 
-Two identical short fits on the synthetic dataset (save_freq 1, so every
-epoch pays last+periodic saves), sync vs async saves; reports per-epoch wall
-time once past the compile epoch. The checkpoint cost being hidden is the
-host-side orbax commit (serialize + fsync of the run directory) — the
-device->host copy stays synchronous either way (donation safety).
+Interleaved short fits on the synthetic dataset (save_freq 1, so every
+epoch pays last+periodic saves), sync/async/sync/async; each run prints its
+total fit wall time and mean s/epoch INCLUDING the compile epoch. All runs
+share one process, so the in-process jit cache makes every run after the
+first compile-free — compare runs within the SECOND (warm) pair, not the
+first. The checkpoint cost being hidden is the host-side orbax commit
+(serialize + fsync of the run directory) — the device->host copy stays
+synchronous either way (donation safety).
 
 Usage: python tools/bench_async_ckpt.py [--platform cpu] [--epochs 6]
 """
@@ -19,7 +22,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run(async_save: bool, info: dict, epochs: int, tmp: str) -> list[float]:
+def run(async_save: bool, info: dict, epochs: int, tmp: str) -> float:
     from podtpu.data import Loader
     from podtpu.data.dataset import YoloTxtDataset
     from podtpu.train.trainer import Trainer
@@ -50,7 +53,7 @@ def run(async_save: bool, info: dict, epochs: int, tmp: str) -> list[float]:
     trainer = Trainer(cfg, log=lambda *_: None)
     t0 = time.time()
     trainer.fit(train, val, epochs=epochs)
-    return [time.time() - t0]
+    return time.time() - t0
 
 
 def main():
@@ -70,7 +73,7 @@ def main():
     info = generate(os.path.join(args.out, "data"), n_train=192, n_val=16,
                     size=256, num_classes=4, seed=0)
     for mode in (False, True, False, True):
-        total = run(mode, info, args.epochs, args.out)[0]
+        total = run(mode, info, args.epochs, args.out)
         per_epoch = total / args.epochs
         print(f"async={mode}: fit {total:.1f}s total, "
               f"{per_epoch:.2f}s/epoch (incl. compile in epoch 0)")
