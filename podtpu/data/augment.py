@@ -99,6 +99,69 @@ def box_survivors(before: np.ndarray, after: np.ndarray, scale: float,
     )
 
 
+def draw_affine_params(
+    im_shape: tuple[int, int],
+    rng: np.random.Generator,
+    degrees: float = 0.0,
+    translate: float = 0.1,
+    scale: float = 0.5,
+    shear: float = 0.0,
+    border: tuple[int, int] = (0, 0),
+):
+    """Draw the affine transform ``(m, s, (height, width))`` without
+    applying it. The rng draw order (angle, scale, shear x2, translate x2)
+    is the contract: :func:`random_affine` and the device-geometry path
+    (``device_geom``) both consume this stream, so the same sample seed
+    yields the same transform either way."""
+    height = im_shape[0] + border[0] * 2
+    width = im_shape[1] + border[1] * 2
+
+    # Build the combined 3x3 transform: translate(center) -> rot/scale ->
+    # shear -> translate(random). Draw order matches a natural pipeline; the
+    # distributions are the ones the active recipe uses.
+    c = np.eye(3)
+    c[0, 2] = -im_shape[1] / 2
+    c[1, 2] = -im_shape[0] / 2
+
+    r = np.eye(3)
+    angle = rng.uniform(-degrees, degrees)
+    s = rng.uniform(1 - scale, 1 + scale)
+    rot = cv2.getRotationMatrix2D(angle=angle, center=(0, 0), scale=s)
+    r[:2] = rot
+
+    sh = np.eye(3)
+    sh[0, 1] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    sh[1, 0] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+
+    t = np.eye(3)
+    t[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * width
+    t[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * height
+
+    return t @ sh @ r @ c, s, (height, width)
+
+
+def affine_boxes(boxes_xyxy: np.ndarray, m: np.ndarray, s: float,
+                 width: int, height: int) -> np.ndarray:
+    """Transform+clip [N,5] ``[cls,x1,y1,x2,y2]`` boxes by ``m`` and drop
+    non-survivors (same corner-hull + survivor math as the warp path)."""
+    n = len(boxes_xyxy)
+    if n:
+        corners = np.ones((n * 4, 3))
+        corners[:, :2] = boxes_xyxy[:, [1, 2, 3, 4, 1, 4, 3, 2]].reshape(n * 4, 2)
+        warped = (corners @ m.T)[:, :2].reshape(n, 8)
+        xs = warped[:, [0, 2, 4, 6]]
+        ys = warped[:, [1, 3, 5, 7]]
+        new = np.stack(
+            [xs.min(1), ys.min(1), xs.max(1), ys.max(1)], axis=1
+        )
+        new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
+        new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
+        keep = box_survivors(boxes_xyxy[:, 1:5], new, s)
+        boxes_xyxy = boxes_xyxy[keep]
+        boxes_xyxy[:, 1:5] = new[keep]
+    return boxes_xyxy
+
+
 def random_affine(
     im: np.ndarray,
     boxes_xyxy: np.ndarray,
@@ -120,51 +183,13 @@ def random_affine(
     semantics (augmentations.py:124-133, datasets.py:231-239) — instead of
     resizing, which would produce a different scale distribution.
     """
-    height = im.shape[0] + border[0] * 2
-    width = im.shape[1] + border[1] * 2
-
-    # Build the combined 3x3 transform: translate(center) -> rot/scale ->
-    # shear -> translate(random). Draw order matches a natural pipeline; the
-    # distributions are the ones the active recipe uses.
-    c = np.eye(3)
-    c[0, 2] = -im.shape[1] / 2
-    c[1, 2] = -im.shape[0] / 2
-
-    r = np.eye(3)
-    angle = rng.uniform(-degrees, degrees)
-    s = rng.uniform(1 - scale, 1 + scale)
-    rot = cv2.getRotationMatrix2D(angle=angle, center=(0, 0), scale=s)
-    r[:2] = rot
-
-    sh = np.eye(3)
-    sh[0, 1] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
-    sh[1, 0] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
-
-    t = np.eye(3)
-    t[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * width
-    t[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * height
-
-    m = t @ sh @ r @ c
+    m, s, (height, width) = draw_affine_params(
+        im.shape[:2], rng, degrees, translate, scale, shear, border)
     if border != (0, 0) or not np.allclose(m, np.eye(3)):
         im = cv2.warpAffine(im, m[:2], dsize=(width, height),
                             borderValue=(GRAY, GRAY, GRAY))
 
-    n = len(boxes_xyxy)
-    if n:
-        corners = np.ones((n * 4, 3))
-        corners[:, :2] = boxes_xyxy[:, [1, 2, 3, 4, 1, 4, 3, 2]].reshape(n * 4, 2)
-        warped = (corners @ m.T)[:, :2].reshape(n, 8)
-        xs = warped[:, [0, 2, 4, 6]]
-        ys = warped[:, [1, 3, 5, 7]]
-        new = np.stack(
-            [xs.min(1), ys.min(1), xs.max(1), ys.max(1)], axis=1
-        )
-        new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
-        new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
-        keep = box_survivors(boxes_xyxy[:, 1:5], new, s)
-        boxes_xyxy = boxes_xyxy[keep]
-        boxes_xyxy[:, 1:5] = new[keep]
-    return im, boxes_xyxy
+    return im, affine_boxes(boxes_xyxy, m, s, width, height)
 
 
 def augment_hsv(im: np.ndarray, rng: np.random.Generator,

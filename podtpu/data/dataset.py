@@ -47,7 +47,7 @@ class YoloTxtDataset:
                  pipeline: str = "letterbox", mosaic: float = 0.0,
                  copy_paste: float = 0.0,
                  cache_images: bool = False, output_uint8: bool = False,
-                 photometric: bool = True):
+                 photometric: bool = True, device_geom: bool = False):
         with open(list_file, "r") as f:
             self.imgs = [l for l in f.read().splitlines() if l.strip()]
         self.input_size = input_size
@@ -74,6 +74,17 @@ class YoloTxtDataset:
         # False when cfg device_augment=true: HSV/flip/jitter then run
         # fused on the TPU (data/device_aug.py); host keeps geometry only
         self.photometric = photometric
+        # cfg device_geom=true (letterbox pipeline): the random affine ALSO
+        # moves on-device — samples ship un-warped letterboxed pixels plus a
+        # per-sample (s, bx, by) row the train step applies as a separable
+        # bilinear warp on the MXU (device_aug.separable_affine). Boxes are
+        # still transformed here with the exact same draw stream, so labels
+        # are identical to the host-warp path. Mosaic samples keep the host
+        # warp (their canvas is 2S) and ship an identity row.
+        self.device_geom = device_geom
+        if device_geom:
+            assert pipeline == "letterbox" and not photometric, \
+                "device_geom requires the letterbox pipeline + device_augment"
 
     def _load_resized_cached(self, index: int):
         if self._cache is not None and index in self._cache:
@@ -142,10 +153,14 @@ class YoloTxtDataset:
             out[:, 2] = (x2 - x1) / ww
             out[:, 3] = (y2 - y1) / hh
             out[:, 4] = boxes[:, 0]
-        im = A.augment_hsv(im, rng)
-        if rng.random() < 0.5:
-            im, out = self._flip_bgr(im, out)
+        if self.photometric:
+            im = A.augment_hsv(im, rng)
+            if rng.random() < 0.5:
+                im, out = self._flip_bgr(im, out)
         im = self._finalize(im[:, :, ::-1])
+        if self.device_geom:
+            # mosaic warped on host (2S canvas): identity device geometry
+            return im, out, np.array([1.0, 0.0, 0.0], np.float32)
         return im, out
 
     # -- letterbox (v3) path ------------------------------------------------
@@ -167,10 +182,21 @@ class YoloTxtDataset:
         else:
             boxes = np.zeros((0, 5), np.float32)
 
+        geom = None
         if self.augment:
-            im, boxes = A.random_affine(im, boxes, rng,
-                                        degrees=0.0, translate=0.1,
-                                        scale=0.5, shear=0.0)
+            if self.device_geom:
+                # same draw stream as random_affine, but the pixels ship
+                # un-warped: the train step warps on-device (separable
+                # scale+translate — degrees/shear are 0 in this recipe)
+                m, s, _ = A.draw_affine_params(
+                    im.shape[:2], rng, degrees=0.0, translate=0.1,
+                    scale=0.5, shear=0.0)
+                boxes = A.affine_boxes(boxes, m, s, size, size)
+                geom = np.array([m[0, 0], m[0, 2], m[1, 2]], np.float32)
+            else:
+                im, boxes = A.random_affine(im, boxes, rng,
+                                            degrees=0.0, translate=0.1,
+                                            scale=0.5, shear=0.0)
 
         # back to normalized cxcywh (+ clip, like xyxy2xywhn(clip=True))
         hh, ww = im.shape[:2]
@@ -192,6 +218,9 @@ class YoloTxtDataset:
                 im, out = self._flip_bgr(im, out)
 
         im = self._finalize(im[:, :, ::-1])  # BGR->RGB
+        if self.device_geom:
+            return im, out, (geom if geom is not None
+                             else np.array([1.0, 0.0, 0.0], np.float32))
         return im, out
 
     def _finalize(self, im):
@@ -253,11 +282,15 @@ def build_datasets(cfg: dict):
     cache = bool(cfg.get("cache_images", False))
     u8 = bool(cfg.get("uint8_batches", True))
     photometric = not bool(cfg.get("device_augment", False))
+    device_geom = bool(cfg.get("device_geom", False))
+    if device_geom and (photometric or pipeline != "letterbox"):
+        raise ValueError("device_geom: true requires device_augment: true "
+                         "and the letterbox pipeline")
     train = YoloTxtDataset(cfg["train_list"], cfg["input_size"], True,
                            pipeline, mosaic=float(cfg.get("mosaic", 0.0)),
                            copy_paste=float(cfg.get("copy_paste", 0.0)),
                            cache_images=cache, output_uint8=u8,
-                           photometric=photometric)
+                           photometric=photometric, device_geom=device_geom)
     val = YoloTxtDataset(cfg["val_list"], cfg["input_size"], False, pipeline,
                          cache_images=cache, output_uint8=u8)
     return train, val

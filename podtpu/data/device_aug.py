@@ -101,6 +101,47 @@ def device_augment(
     return images, annots
 
 
+def separable_affine(images: jnp.ndarray, geom: jnp.ndarray,
+                     fill: float = 114.0 / 255.0) -> jnp.ndarray:
+    """Batched scale+translate bilinear warp as two MXU matmuls.
+
+    The active letterbox recipe's random affine has degrees=0 and shear=0
+    (the reference calls ``random_perspective(translate=.1, scale=.5)`` with
+    rotation/shear left at 0 — dataset/detection/datasets.py:47-52), so the
+    warp is axis-separable: ``out[y, x] = Σ_h Σ_w Wy[y, h] Wx[x, w] im[h, w]``
+    with per-sample interpolation matrices built from three scalars. Two
+    batched einsums put the whole geometric augmentation on the MXU instead
+    of host ``cv2.warpAffine`` — this is the ``device_geom`` fast path.
+
+    images: [B, H, W, C] float in [0, 1] (already letterboxed, un-warped).
+    geom:   [B, 3] rows ``(s, bx, by)`` of the forward map
+            ``dst = s * src + (bx, by)`` (= ``m[0,0], m[0,2], m[1,2]`` of
+            :func:`podtpu.data.augment.draw_affine_params`); identity rows
+            ``(1, 0, 0)`` pass through exactly.
+    Out-of-image taps blend with the gray ``fill``, matching
+    ``cv2.warpAffine(borderValue=114)`` bilinear semantics (float-exact
+    coordinates; cv2's 5-bit fixed-point tables differ by ≤~2/255).
+    """
+    b, h, w, _ = images.shape
+    s = geom[:, 0:1]                                     # [B, 1]
+    # inverse map: src = (dst - t) / s, per axis
+    src_x = (jnp.arange(w, dtype=jnp.float32)[None, :] - geom[:, 1:2]) / s
+    src_y = (jnp.arange(h, dtype=jnp.float32)[None, :] - geom[:, 2:3]) / s
+    # bilinear weight matrices [B, out, in]: hat function around src
+    wx = jnp.clip(
+        1.0 - jnp.abs(src_x[:, :, None] - jnp.arange(w, dtype=jnp.float32)),
+        0.0, 1.0)
+    wy = jnp.clip(
+        1.0 - jnp.abs(src_y[:, :, None] - jnp.arange(h, dtype=jnp.float32)),
+        0.0, 1.0)
+    tmp = jnp.einsum("boh,bhwc->bowc", wy, images)       # contract src rows
+    out = jnp.einsum("bxw,bowc->boxc", wx, tmp)          # contract src cols
+    # taps falling outside the source blend with the constant border fill:
+    # total bilinear weight at (y, x) is rowsum(wy)[y] * rowsum(wx)[x]
+    cover = wy.sum(-1)[:, :, None] * wx.sum(-1)[:, None, :]  # [B, H, W]
+    return out + (1.0 - cover)[..., None] * fill
+
+
 def make_device_augment(cfg: dict):
     """Config -> device-augment fn, or None when disabled.
 

@@ -134,13 +134,20 @@ def make_train_step(cfg: dict, mesh=None, donate: bool = True,
     gradients). Batch images shard H over a ``space`` mesh axis when the
     mesh has one (spatial partitioning)."""
     loss_fn = build_loss(cfg)
-    from podtpu.data.device_aug import make_device_augment
+    from podtpu.data.device_aug import make_device_augment, separable_affine
 
     device_aug = make_device_augment(cfg)
+    device_geom = bool(cfg.get("device_geom", False))
     policy = remat_policy(cfg)
 
     def train_step(state, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
+        if device_geom:
+            # host shipped the un-warped letterboxed image + per-sample
+            # (s, bx, by); the scale+translate affine runs here as two
+            # batched MXU matmuls (boxes were transformed on host)
+            img = separable_affine(_as_input(batch["img"]), batch["geom"])
+            batch = {"img": img, "annot": batch["annot"]}
         if device_aug is not None:
             img = _as_input(batch["img"])
             img, annot = device_aug(jax.random.fold_in(step_rng, 1), img,
@@ -181,9 +188,12 @@ def make_train_step(cfg: dict, mesh=None, donate: bool = True,
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
     st = state_shardings if state_shardings is not None else repl
+    batch_sh = {"img": image_sharding(mesh), "annot": data}
+    if device_geom:
+        batch_sh["geom"] = data
     return jax.jit(
         train_step,
-        in_shardings=(st, {"img": image_sharding(mesh), "annot": data}, repl),
+        in_shardings=(st, batch_sh, repl),
         out_shardings=(st, repl),
         donate_argnums=(0,) if donate else (),
         compiler_options=opts,
@@ -202,10 +212,18 @@ def make_stats_step(cfg: dict, mesh=None, momentum: float = 0.9,
     podtpu/models/layers.py).
     """
 
+    device_geom = bool(cfg.get("device_geom", False))
+
     def stats_step(state, batch, rng):
+        img = _as_input(batch["img"])
+        if device_geom:
+            # recalibrate on the same warped distribution training sees
+            from podtpu.data.device_aug import separable_affine
+
+            img = separable_affine(img, batch["geom"])
         _, updates = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
-            _as_input(batch["img"]),
+            img,
             train=True,
             mutable=["batch_stats"],
             rngs={"dropout": rng},
@@ -221,10 +239,12 @@ def make_stats_step(cfg: dict, mesh=None, momentum: float = 0.9,
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
     st = state_shardings if state_shardings is not None else repl
+    batch_sh = {"img": image_sharding(mesh), "annot": data}
+    if device_geom:
+        batch_sh["geom"] = data
     return jax.jit(
         stats_step,
-        in_shardings=(st, {"img": image_sharding(mesh), "annot": data},
-                      repl),
+        in_shardings=(st, batch_sh, repl),
         out_shardings=repl,
     )
 
