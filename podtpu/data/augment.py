@@ -255,6 +255,20 @@ def random_resized_crop(
     the reference's transform: yolo_dataset.py:70).
     """
     h, w = im.shape[:2]
+    x0, y0, cw, ch = draw_rrc_params(h, w, rng, scale, ratio)
+    crop = im[y0:y0 + ch, x0:x0 + cw]
+    crop = cv2.resize(crop, (out_size, out_size), interpolation=cv2.INTER_LINEAR)
+    return crop, rrc_boxes(boxes, x0, y0, cw, ch, h, w, min_visibility)
+
+
+def draw_rrc_params(h: int, w: int, rng: np.random.Generator,
+                    scale: tuple[float, float] = (0.5, 1.0),
+                    ratio: tuple[float, float] = (0.4, 1.6)):
+    """Draw a RandomResizedCrop rect ``(x0, y0, cw, ch)`` in image pixels.
+
+    Same draw stream as :func:`random_resized_crop` (which calls this), so
+    the ``device_geom`` path reproduces identical crops from the same seed.
+    """
     area = h * w
     for _ in range(10):
         target_area = rng.uniform(*scale) * area
@@ -264,15 +278,15 @@ def random_resized_crop(
         if 0 < cw <= w and 0 < ch <= h:
             x0 = int(rng.integers(0, w - cw + 1))
             y0 = int(rng.integers(0, h - ch + 1))
-            break
-    else:
-        cw = ch = min(h, w)
-        x0 = (w - cw) // 2
-        y0 = (h - ch) // 2
+            return x0, y0, cw, ch
+    cw = ch = min(h, w)
+    return (w - cw) // 2, (h - ch) // 2, cw, ch
 
-    crop = im[y0:y0 + ch, x0:x0 + cw]
-    crop = cv2.resize(crop, (out_size, out_size), interpolation=cv2.INTER_LINEAR)
 
+def rrc_boxes(boxes: np.ndarray, x0: int, y0: int, cw: int, ch: int,
+              h: int, w: int, min_visibility: float = 0.3) -> np.ndarray:
+    """Crop-rect box transform + min-visibility filter for normalized
+    ``[cx, cy, w, h, cls]`` rows (the tail of :func:`random_resized_crop`)."""
     if len(boxes):
         x1 = boxes[:, 0] * w - boxes[:, 2] * w / 2
         y1 = boxes[:, 1] * h - boxes[:, 3] * h / 2
@@ -292,7 +306,7 @@ def random_resized_crop(
         out[:, 3] = (cy2[keep] - cy1[keep]) / ch
         out[:, 4] = boxes[keep, 4]
         boxes = out
-    return crop, boxes
+    return boxes
 
 
 def mosaic4(images, boxes_list, out_size: int, rng: np.random.Generator):

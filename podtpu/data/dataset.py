@@ -19,6 +19,9 @@ import numpy as np
 
 from podtpu.data import augment as A
 
+# device_geom identity row (sx, sy, bx, by): sample needs no device warp
+IDENTITY_GEOM = np.array([1.0, 1.0, 0.0, 0.0], np.float32)
+
 
 def read_yolo_labels(label_path: str) -> np.ndarray:
     """[N, 5] rows [cls, cx, cy, w, h] (raw file order)."""
@@ -83,8 +86,8 @@ class YoloTxtDataset:
         # warp (their canvas is 2S) and ship an identity row.
         self.device_geom = device_geom
         if device_geom:
-            assert pipeline == "letterbox" and not photometric, \
-                "device_geom requires the letterbox pipeline + device_augment"
+            assert not photometric, \
+                "device_geom requires device_augment (device photometric)"
 
     def _load_resized_cached(self, index: int):
         if self._cache is not None and index in self._cache:
@@ -160,7 +163,7 @@ class YoloTxtDataset:
         im = self._finalize(im[:, :, ::-1])
         if self.device_geom:
             # mosaic warped on host (2S canvas): identity device geometry
-            return im, out, np.array([1.0, 0.0, 0.0], np.float32)
+            return im, out, IDENTITY_GEOM
         return im, out
 
     # -- letterbox (v3) path ------------------------------------------------
@@ -192,7 +195,8 @@ class YoloTxtDataset:
                     im.shape[:2], rng, degrees=0.0, translate=0.1,
                     scale=0.5, shear=0.0)
                 boxes = A.affine_boxes(boxes, m, s, size, size)
-                geom = np.array([m[0, 0], m[0, 2], m[1, 2]], np.float32)
+                geom = np.array([m[0, 0], m[1, 1], m[0, 2], m[1, 2]],
+                                np.float32)
             else:
                 im, boxes = A.random_affine(im, boxes, rng,
                                             degrees=0.0, translate=0.1,
@@ -219,8 +223,7 @@ class YoloTxtDataset:
 
         im = self._finalize(im[:, :, ::-1])  # BGR->RGB
         if self.device_geom:
-            return im, out, (geom if geom is not None
-                             else np.array([1.0, 0.0, 0.0], np.float32))
+            return im, out, (geom if geom is not None else IDENTITY_GEOM)
         return im, out
 
     def _finalize(self, im):
@@ -238,11 +241,49 @@ class YoloTxtDataset:
         return im, boxes
 
     # -- simple (v1/v2/v4-tiny) path -----------------------------------------
+    def _load_square_cached(self, index: int):
+        """(square S x S RGB image, (h0, w0), labels) for the simple
+        pipeline's device-geometry path (the square resize is what ships;
+        the crop rect is drawn in original (h0, w0) coordinates)."""
+        import cv2
+
+        if self._cache is not None and index in self._cache:
+            return self._cache[index]
+        path = self.imgs[index]
+        im = cv2.imread(path)
+        if im is None:
+            raise FileNotFoundError(f"image not found: {path}")
+        im = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
+        h0, w0 = im.shape[:2]
+        size = self.input_size
+        im = cv2.resize(im, (size, size), interpolation=cv2.INTER_LINEAR)
+        entry = (im, (h0, w0), read_yolo_labels(label_path_for(path)))
+        if self._cache is not None:
+            self._cache[index] = entry
+        return entry
+
     def _simple_sample(self, index: int, rng: np.random.Generator):
         import cv2
 
-        path = self.imgs[index]
         size = self.input_size
+        if self.augment and self.device_geom:
+            # resize-then-crop: ship the square-resized image; the device
+            # applies the RandomResizedCrop rect as an anisotropic
+            # separable warp. Same draw stream and box math as
+            # random_resized_crop (in original coordinates), so labels
+            # match the host path; pixels pay one extra interpolation.
+            im, (h0, w0), labels = self._load_square_cached(index)
+            boxes = np.zeros((len(labels), 5), np.float32)
+            if len(labels):
+                boxes[:, :4] = labels[:, 1:5]
+                boxes[:, 4] = labels[:, 0]
+            x0, y0, cw, ch = A.draw_rrc_params(h0, w0, rng)
+            boxes = A.rrc_boxes(boxes, x0, y0, cw, ch, h0, w0)
+            geom = np.array([w0 / cw, h0 / ch,
+                             -x0 * size / cw, -y0 * size / ch], np.float32)
+            return self._finalize(im), boxes, geom
+
+        path = self.imgs[index]
         im = cv2.imread(path)
         if im is None:
             raise FileNotFoundError(f"image not found: {path}")
@@ -267,6 +308,8 @@ class YoloTxtDataset:
             im = cv2.resize(im, (size, size), interpolation=cv2.INTER_LINEAR)
 
         im = self._finalize(im)
+        if self.device_geom:
+            return im, boxes, IDENTITY_GEOM
         return im, boxes
 
 
@@ -283,9 +326,8 @@ def build_datasets(cfg: dict):
     u8 = bool(cfg.get("uint8_batches", True))
     photometric = not bool(cfg.get("device_augment", False))
     device_geom = bool(cfg.get("device_geom", False))
-    if device_geom and (photometric or pipeline != "letterbox"):
-        raise ValueError("device_geom: true requires device_augment: true "
-                         "and the letterbox pipeline")
+    if device_geom and photometric:
+        raise ValueError("device_geom: true requires device_augment: true")
     train = YoloTxtDataset(cfg["train_list"], cfg["input_size"], True,
                            pipeline, mosaic=float(cfg.get("mosaic", 0.0)),
                            copy_paste=float(cfg.get("copy_paste", 0.0)),

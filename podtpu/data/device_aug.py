@@ -114,19 +114,20 @@ def separable_affine(images: jnp.ndarray, geom: jnp.ndarray,
     of host ``cv2.warpAffine`` — this is the ``device_geom`` fast path.
 
     images: [B, H, W, C] float in [0, 1] (already letterboxed, un-warped).
-    geom:   [B, 3] rows ``(s, bx, by)`` of the forward map
-            ``dst = s * src + (bx, by)`` (= ``m[0,0], m[0,2], m[1,2]`` of
-            :func:`podtpu.data.augment.draw_affine_params`); identity rows
-            ``(1, 0, 0)`` pass through exactly.
+    geom:   [B, 4] rows ``(sx, sy, bx, by)`` of the forward map
+            ``dst = (sx*x + bx, sy*y + by)`` — the letterbox affine has
+            ``sx == sy`` (= ``m[0,0], m[1,1], m[0,2], m[1,2]`` of
+            :func:`podtpu.data.augment.draw_affine_params`); the simple
+            pipeline's RandomResizedCrop is anisotropic. Identity rows
+            ``(1, 1, 0, 0)`` pass through exactly.
     Out-of-image taps blend with the gray ``fill``, matching
     ``cv2.warpAffine(borderValue=114)`` bilinear semantics (float-exact
     coordinates; cv2's 5-bit fixed-point tables differ by ≤~2/255).
     """
     b, h, w, _ = images.shape
-    s = geom[:, 0:1]                                     # [B, 1]
     # inverse map: src = (dst - t) / s, per axis
-    src_x = (jnp.arange(w, dtype=jnp.float32)[None, :] - geom[:, 1:2]) / s
-    src_y = (jnp.arange(h, dtype=jnp.float32)[None, :] - geom[:, 2:3]) / s
+    src_x = (jnp.arange(w, dtype=jnp.float32)[None, :] - geom[:, 2:3]) / geom[:, 0:1]
+    src_y = (jnp.arange(h, dtype=jnp.float32)[None, :] - geom[:, 3:4]) / geom[:, 1:2]
     # bilinear weight matrices [B, out, in]: hat function around src
     wx = jnp.clip(
         1.0 - jnp.abs(src_x[:, :, None] - jnp.arange(w, dtype=jnp.float32)),
