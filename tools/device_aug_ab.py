@@ -4,7 +4,9 @@ device_augment moves photometric augmentation (HSV/flip/jitter) onto the TPU
 with an RGB-space HSV approximation (data/device_aug.py) — the recommended
 fast-host path. Round 1 only spot-checked its trajectory to epoch 14; this
 runs the same recipe to completion twice (host photometric vs device) and
-prints both val_mAP curves (VERDICT r1 item 8).
+prints both val_mAP curves (VERDICT r1 item 8). Mode "geom" adds
+device_geom on top (the simple pipeline's resize-then-crop
+approximation) for ITS accuracy A/B against the "device" curve.
 
     python tools/device_aug_ab.py --data /tmp/synth_ab --epochs 30 \
         --mode host|device      # one mode per invocation (resumable slices)
@@ -27,7 +29,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", type=str, default="/tmp/synth_ab")
     ap.add_argument("--mode", type=str, required=True,
-                    choices=["host", "device"])
+                    choices=["host", "device", "geom"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--save-dir", type=str, default="./saved")
     ap.add_argument("--platform", type=str, default=None)
@@ -50,7 +52,8 @@ def main():
         train_list=f"{args.data}/train.txt", val_list=f"{args.data}/val.txt",
         names=f"{args.data}/synth.names", epochs=args.epochs,
         save_dir=args.save_dir, cache_images=True, uint8_batches=True,
-        device_augment=(args.mode == "device"),
+        device_augment=(args.mode in ("device", "geom")),
+        device_geom=(args.mode == "geom"),
         dataset_name=f"ab-{args.mode}",
         compute_dtype="bfloat16",
     )
