@@ -188,9 +188,10 @@ class Trainer:
         if self.mesh is not None:
             from podtpu.parallel.mesh import state_shardings
 
-            fsdp = bool((cfg.get("parallel_options") or {}).get("fsdp"))
+            popts = cfg.get("parallel_options") or {}
             self.state_shardings = state_shardings(
-                self.mesh, self.state, fsdp=fsdp
+                self.mesh, self.state, fsdp=bool(popts.get("fsdp")),
+                tensor=int(popts.get("tensor", 1)) > 1,
             )
             self.state = jax.device_put(self.state, self.state_shardings)
         self.train_step = make_train_step(
@@ -222,23 +223,27 @@ class Trainer:
 
     @staticmethod
     def _pick_mesh(cfg):
-        """Mesh over the most devices that fit the batch and spatial factor.
+        """Mesh over the most devices that fit the batch and model factors.
 
         ``parallel_options.spatial = k`` groups k chips per image (height
-        partitioning); the data axis then only needs to divide batch by
-        n_devices/k."""
+        partitioning); ``parallel_options.tensor = k`` groups k chips per
+        layer (channel partitioning); the data axis then only needs to
+        divide batch by n_devices/(spatial*tensor)."""
         devices = jax.devices()
         batch = int(cfg.get("batch_size", 1))
-        spatial = int((cfg.get("parallel_options") or {}).get("spatial", 1))
-        if spatial > 1 and len(devices) % spatial != 0:
+        popts = cfg.get("parallel_options") or {}
+        spatial = int(popts.get("spatial", 1))
+        tensor = int(popts.get("tensor", 1))
+        groups = max(spatial, 1) * max(tensor, 1)
+        if groups > 1 and len(devices) % groups != 0:
             raise ValueError(
-                f"parallel_options.spatial={spatial} does not divide "
-                f"{len(devices)} devices")
+                f"parallel_options spatial={spatial} x tensor={tensor} does "
+                f"not divide {len(devices)} devices")
         n = len(devices)
-        while n > spatial and (n % spatial != 0
-                               or batch % (n // spatial) != 0):
+        while n > groups and (n % groups != 0
+                              or batch % (n // groups) != 0):
             n -= 1
-        return make_mesh(devices[:n], spatial=spatial)
+        return make_mesh(devices[:n], spatial=spatial, tensor=tensor)
 
     @property
     def writer(self):

@@ -16,11 +16,13 @@ from test_train import TINY_CFG, tiny_batch
 
 from podtpu.parallel.mesh import (
     DATA_AXIS,
+    MODEL_AXIS,
     make_mesh,
     replicated_sharding,
     shard_batch,
     spatial_size,
     state_shardings,
+    tensor_size,
 )
 from podtpu.train.state import create_train_state
 from podtpu.train.steps import make_eval_step, make_train_step
@@ -155,6 +157,79 @@ def test_fsdp_plus_spatial_composes():
     _assert_state_close(s_fs, s_1)
 
 
+def test_tensor_layout_shards_output_channels():
+    """TP shardings: large kernels split on their LAST (output-channel) dim
+    over ``model``; BN vectors and odd-channel heads stay replicated."""
+    mesh = make_mesh(tensor=2)
+    assert tensor_size(mesh) == 2 and mesh.shape[DATA_AXIS] == 4
+    state = create_train_state(TINY_CFG, jax.random.PRNGKey(0))
+    sh = state_shardings(mesh, state, tensor=True)
+    placed = jax.device_put(state, sh)
+
+    sharded = 0
+    for leaf in jax.tree_util.tree_leaves(placed.params):
+        local = leaf.addressable_shards[0].data.shape
+        if local != leaf.shape:
+            sharded += 1
+            # only the last dim is divided, by the model-axis size
+            assert local[:-1] == leaf.shape[:-1], (leaf.shape, local)
+            assert local[-1] == leaf.shape[-1] // 2, (leaf.shape, local)
+    assert sharded >= 5, f"only {sharded} param leaves TP-sharded"
+
+
+@pytest.mark.slow
+def test_tensor_step_matches_single_device():
+    """(data=4, model=2) mesh: channel-sharded kernels, same math."""
+    mesh = make_mesh(tensor=2)
+    state = create_train_state(TINY_CFG, jax.random.PRNGKey(0))
+    sh = state_shardings(mesh, state, tensor=True)
+    state_tp = jax.device_put(state, sh)
+    batch = tiny_batch(batch_size=8)
+    rng = jax.random.PRNGKey(1)
+
+    step = make_train_step(TINY_CFG, mesh, donate=False, state_shardings=sh)
+    s_tp, m_tp = step(state_tp, shard_batch(batch, mesh), rng)
+    s_1, m_1 = _single_device_step(state, batch, rng)
+
+    assert float(m_tp["loss"]) == pytest.approx(float(m_1["loss"]), rel=1e-5)
+    _assert_state_close(s_tp, s_1)
+    # the updated state keeps the TP layout (no silent re-replication)
+    big = [leaf for leaf in jax.tree_util.tree_leaves(s_tp.params)
+           if leaf.addressable_shards[0].data.shape != leaf.shape]
+    assert big, "updated params lost their TP sharding"
+
+
+@pytest.mark.slow
+def test_dp_sp_tp_fsdp_composes():
+    """3-D (data=2, space=2, model=2) mesh with both FSDP and TP on the
+    same kernels (different dims): all four layouts in one step, same
+    training math as one device."""
+    mesh = make_mesh(spatial=2, tensor=2)
+    assert mesh.shape[DATA_AXIS] == 2
+    state = create_train_state(TINY_CFG, jax.random.PRNGKey(0))
+    sh = state_shardings(mesh, state, fsdp=True, tensor=True)
+    state_x = jax.device_put(state, sh)
+    batch = tiny_batch(batch_size=8)
+    rng = jax.random.PRNGKey(1)
+
+    # at least one kernel is sharded on BOTH axes (model on C_out + data
+    # on another dim)
+    both = [
+        leaf for leaf in jax.tree_util.tree_leaves(state_x.params)
+        if len(getattr(leaf, "shape", ())) >= 2
+        and np.prod(leaf.addressable_shards[0].data.shape)
+        == np.prod(leaf.shape) // 4
+    ]
+    assert both, "no kernel carries both TP and FSDP sharding"
+
+    step = make_train_step(TINY_CFG, mesh, donate=False, state_shardings=sh)
+    s_x, m_x = step(state_x, shard_batch(batch, mesh), rng)
+    s_1, m_1 = _single_device_step(state, batch, rng)
+
+    assert float(m_x["loss"]) == pytest.approx(float(m_1["loss"]), rel=1e-5)
+    _assert_state_close(s_x, s_1)
+
+
 def test_fsdp_checkpoint_roundtrip(tmp_path):
     """Orbax save from an FSDP-sharded state; restore into both the same
     FSDP layout and a replicated layout (checkpoints are layout-portable)."""
@@ -200,3 +275,19 @@ def test_trainer_picks_spatial_mesh():
     big = [leaf for leaf in jax.tree_util.tree_leaves(tr.state.params)
            if leaf.addressable_shards[0].data.shape != leaf.shape]
     assert big, "Trainer did not apply FSDP shardings"
+
+
+def test_trainer_picks_tensor_mesh():
+    """Trainer wires parallel_options.tensor into a model mesh axis."""
+    from podtpu.train.trainer import Trainer
+
+    cfg = dict(TINY_CFG)
+    cfg["batch_size"] = 8
+    cfg["parallel_options"] = {"tensor": 2}
+    tr = Trainer(cfg, use_mesh=True, eval_only=True, log=lambda *_: None)
+    assert tensor_size(tr.mesh) == 2
+    assert tr.mesh.shape[DATA_AXIS] == 4
+    tp = [leaf for leaf in jax.tree_util.tree_leaves(tr.state.params)
+          if len(getattr(leaf, "shape", ())) >= 2
+          and leaf.addressable_shards[0].data.shape[-1] != leaf.shape[-1]]
+    assert tp, "Trainer did not apply TP shardings"
