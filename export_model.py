@@ -98,6 +98,15 @@ def main():
     ap.add_argument("--platform", type=str, default=None,
                     help="pin JAX backend (e.g. cpu) for local runs")
     args = ap.parse_args()
+    # flag-compatibility checks BEFORE the (expensive) restore/convert work
+    if args.format in ("tflite", "savedmodel"):
+        if args.annotate or args.validate_npu or args.inspect:
+            ap.error("--annotate/--validate-npu/--inspect operate on "
+                     "StableHLO artifacts (--format stablehlo)")
+        if args.format == "savedmodel" and args.quantize:
+            ap.error("--quantize applies to --format tflite/stablehlo")
+    elif args.quantize == "dynamic":
+        ap.error("--quantize dynamic is tflite-only (--format tflite)")
     setup_platform(args.platform)
 
     cfg = get_configs(args.cfg)
@@ -117,8 +126,6 @@ def main():
         from podtpu.export.tflite import export_savedmodel, export_tflite
 
         if args.format == "savedmodel":
-            if args.quantize:
-                ap.error("--quantize applies to --format tflite/stablehlo")
             path = export_savedmodel(model, variables, shape, args.out,
                                      cfg=cfg,
                                      with_postprocess=args.with_postprocess)
@@ -129,12 +136,7 @@ def main():
                                  with_postprocess=args.with_postprocess,
                                  quantize=args.quantize, rep_batches=rep)
         print(f"exported to {path}")
-        if args.annotate or args.validate_npu or args.inspect:
-            ap.error("--annotate/--validate-npu/--inspect operate on "
-                     "StableHLO artifacts (--format stablehlo)")
         return
-    if args.quantize == "dynamic":
-        ap.error("--quantize dynamic is tflite-only (--format tflite)")
     if args.quantize == "int8":
         from podtpu.export.quantize import quantize_for_serving
 

@@ -23,11 +23,9 @@ from podtpu.export.stablehlo import inspect_exported, load_exported
 
 
 def bench_tflite(path: str, iters: int) -> None:
-    import tensorflow as tf
+    from podtpu.export.tflite import load_interpreter
 
-    interp = tf.lite.Interpreter(model_path=path)
-    interp.allocate_tensors()
-    (inp,) = interp.get_input_details()
+    interp, inp = load_interpreter(path)
     dims = [int(d) for d in inp["shape"]]
     print(f"input: {inp['dtype'].__name__}{dims}")
     x = np.random.default_rng(0).uniform(0, 1, dims).astype(np.float32)

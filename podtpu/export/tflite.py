@@ -116,18 +116,29 @@ def export_tflite(model, variables, input_shape, path: str,
     return path
 
 
-def run_tflite(path: str, x: np.ndarray):
-    """Execute a .tflite artifact on the TFLite CPU interpreter.
+def load_interpreter(path: str):
+    """TFLite CPU interpreter with tensors allocated.
 
-    Returns a single array or a tuple matching the exported outputs —
-    used by tests for artifact/eval-step parity and by
-    exported_inference.py for FPS benchmarking.
+    Returns ``(interpreter, input_detail)`` — the shared setup for
+    :func:`run_tflite` (parity tests) and exported_inference.py's
+    ``bench_tflite`` (FPS benchmarking), so the interpreter-driving code
+    lives in exactly one place.
     """
     import tensorflow as tf
 
     interp = tf.lite.Interpreter(model_path=path)
     interp.allocate_tensors()
     (inp,) = interp.get_input_details()
+    return interp, inp
+
+
+def run_tflite(path: str, x: np.ndarray):
+    """Execute a .tflite artifact on the TFLite CPU interpreter.
+
+    Returns a single array or a tuple matching the exported outputs —
+    used by tests for artifact/eval-step parity.
+    """
+    interp, inp = load_interpreter(path)
     interp.set_tensor(inp["index"], np.asarray(x, np.float32))
     interp.invoke()
     outs = [interp.get_tensor(d["index"]) for d in interp.get_output_details()]

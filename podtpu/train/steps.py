@@ -139,6 +139,8 @@ def make_train_step(cfg: dict, mesh=None, donate: bool = True,
     device_aug = make_device_augment(cfg)
     device_geom = bool(cfg.get("device_geom", False))
     policy = remat_policy(cfg)
+    skip_nonfinite = int(dict(cfg.get("optimizer_options", {}))
+                         .get("skip_nonfinite", 0) or 0) > 0
 
     def train_step(state, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -174,9 +176,20 @@ def make_train_step(cfg: dict, mesh=None, donate: bool = True,
         (loss, updates), grads = jax.value_and_grad(objective, has_aux=True)(
             state.params
         )
-        new_state = state.apply_gradients(
-            grads=grads, batch_stats=updates["batch_stats"]
-        )
+        new_stats = updates["batch_stats"]
+        if skip_nonfinite:
+            # the optimizer guard (optax.apply_if_finite) drops the param
+            # update on a non-finite step; mirror it for the BN running
+            # statistics, which would otherwise be poisoned permanently
+            # (new = m*old + (1-m)*batch keeps a NaN forever)
+            flat = (jax.tree_util.tree_leaves(grads)
+                    + jax.tree_util.tree_leaves(new_stats))
+            ok = jnp.all(jnp.asarray(
+                [jnp.all(jnp.isfinite(x)) for x in flat]))
+            new_stats = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old),
+                new_stats, state.batch_stats)
+        new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
         metrics = {"loss": loss}
         return new_state, metrics
 

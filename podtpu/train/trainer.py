@@ -70,16 +70,54 @@ class CheckpointIO:
     epoch's multiple saves all overlap — only an overwrite of the SAME
     target drains that target's pending commit first. ``wait`` drains all
     targets; it runs before any restore and at the end of ``Trainer.fit``.
+
+    Overwrites of the named targets ("last"/"best"/"swa") are crash-safe:
+    the new checkpoint commits into ``<name>.staging`` and is rename-swapped
+    over the old one only once durable, so a kill at any point leaves at
+    least one complete checkpoint on disk (``restore`` resolves
+    ``.staging``/``.old`` leftovers, preferring the newest complete one).
+    Without staging, orbax's ``force=True`` would delete the old directory
+    before the new write — under async saves that no-durable-checkpoint
+    window would span the whole overlapped epoch.
     """
 
     def __init__(self, ckpt_dir: str, async_save: bool = False):
         self._ckpt_dir = os.path.abspath(ckpt_dir)
         os.makedirs(self._ckpt_dir, exist_ok=True)
         self._ckptrs: dict[str, object] = {}
+        self._staged: set[str] = set()
         self._async = async_save
 
     def _path(self, name: str) -> str:
         return os.path.join(self._ckpt_dir, name)
+
+    def _finalize(self, name: str):
+        """Swap a committed ``<name>.staging`` into place (rename-based, so
+        a crash at any point leaves a complete checkpoint under ``name``,
+        ``name.staging``, or ``name.old`` — ``_resolve`` finds it)."""
+        import shutil
+
+        self._staged.discard(name)
+        final = self._path(name)
+        staging = final + ".staging"
+        if not os.path.isdir(staging):
+            return
+        old = final + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(final):
+            os.rename(final, old)
+        os.rename(staging, final)
+        shutil.rmtree(old, ignore_errors=True)
+
+    @staticmethod
+    def _resolve(path: str) -> str:
+        """Resolve a named-target path against crash leftovers: a complete
+        ``.staging`` is newer than the main dir; ``.old`` only exists if a
+        swap died between its two renames (main dir absent)."""
+        for candidate in (path + ".staging", path, path + ".old"):
+            if os.path.isdir(candidate):
+                return candidate
+        return path
 
     def _ckptr_for(self, name: str):
         # periodic epoch_* saves share one checkpointer (distinct dirs, so
@@ -93,9 +131,12 @@ class CheckpointIO:
         return self._ckptrs[key]
 
     def wait(self):
-        """Block until every pending async save has committed to disk."""
+        """Block until every pending async save has committed to disk, then
+        swap committed staging saves into place."""
         for ckptr in self._ckptrs.values():
             ckptr.wait_until_finished()
+        for name in list(self._staged):
+            self._finalize(name)
 
     def save(self, name: str, state: TrainState):
         payload = {
@@ -104,14 +145,22 @@ class CheckpointIO:
             "opt_state": state.opt_state,
             "step": state.step,
         }
+        staged = name in ("last", "best", "swa")
         ckptr = self._ckptr_for(name)
         # a still-pending previous save of this target must finish before
-        # its directory can be replaced (force=True deletes the target
-        # first); other targets' pending commits keep overlapping
+        # its staging directory can be reused; other targets' pending
+        # commits keep overlapping
         ckptr.wait_until_finished()
-        ckptr.save(self._path(name), payload, force=True)
+        if staged:
+            self._finalize(name)  # previous commit becomes the durable dir
+            ckptr.save(self._path(name) + ".staging", payload, force=True)
+            self._staged.add(name)
+        else:
+            ckptr.save(self._path(name), payload, force=True)
         if not self._async:
             ckptr.wait_until_finished()
+            if staged:
+                self._finalize(name)
 
     def prune_periodic(self, keep: int):
         """Keep only the newest ``keep`` periodic ``epoch_<n>`` checkpoints
@@ -148,7 +197,7 @@ class CheckpointIO:
             "step": state.step,
         }
         payload = self._ckptr_for("restore").restore(
-            os.path.abspath(path), template)
+            self._resolve(os.path.abspath(path)), template)
         return state.replace(
             params=payload["params"],
             batch_stats=payload["batch_stats"],
@@ -168,7 +217,8 @@ def restore_weights(path: str, state: TrainState) -> TrainState:
         "opt_state": state.opt_state,
         "step": state.step,
     }
-    payload = ckptr.restore(os.path.abspath(path), template)
+    payload = ckptr.restore(
+        CheckpointIO._resolve(os.path.abspath(path)), template)
     return state.replace(
         params=payload["params"], batch_stats=payload["batch_stats"]
     )

@@ -209,3 +209,40 @@ def test_skip_nonfinite_guard():
             "epochs": 1}
     tx2 = build_optimizer(cfg2, {"w": jnp.ones((4,))})
     assert total_notfinite(tx2.init({"w": jnp.ones((4,))})) is None
+
+
+def test_skip_nonfinite_protects_batch_stats(state):
+    """A non-finite batch must not poison the BN running statistics while
+    the guard is dropping the param update (a NaN in the EWMA would stay
+    NaN forever and silently break every later eval)."""
+    from podtpu.train.optim import total_notfinite
+
+    cfg = dict(TINY_CFG)
+    cfg["optimizer_options"] = dict(
+        TINY_CFG["optimizer_options"], skip_nonfinite=5)
+    s = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, mesh=None, donate=False)
+    rng = jax.random.PRNGKey(1)
+
+    bad = tiny_batch()
+    bad["img"][0, 0, 0, 0] = np.nan
+    s2, metrics = step(s, jax.tree_util.tree_map(jnp.asarray, bad), rng)
+    assert total_notfinite(s2.opt_state) == 1
+    # params untouched AND batch_stats untouched (both finite)
+    for a, b in zip(jax.tree_util.tree_leaves(s.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(s.batch_stats),
+                    jax.tree_util.tree_leaves(s2.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a good batch afterwards updates both params and stats
+    s3, _ = step(s2, jax.tree_util.tree_map(jnp.asarray, tiny_batch()), rng)
+    assert total_notfinite(s3.opt_state) == 1  # total is cumulative
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(s2.batch_stats),
+                        jax.tree_util.tree_leaves(s3.batch_stats)))
+    assert changed, "finite step did not update batch_stats"
+    for leaf in jax.tree_util.tree_leaves(s3.batch_stats):
+        assert np.isfinite(np.asarray(leaf)).all()

@@ -244,6 +244,46 @@ def test_keep_checkpoints_retention(setup):
     assert os.path.isdir(os.path.join(ckpt_dir, "best"))
 
 
+def test_async_overwrite_keeps_a_durable_checkpoint(tmp_path):
+    """Overwriting 'last' must never delete the old committed checkpoint
+    before the replacement is durable: the new save commits into
+    last.staging and rename-swaps in, and a crash leftover (.staging with
+    no swap) is resolved by restore()."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from podtpu.train.state import TrainState
+    from podtpu.train.trainer import CheckpointIO
+
+    def mk_state(seed, step):
+        k = jax.random.PRNGKey(seed)
+        params = {"w": jax.random.normal(k, (8, 8)), "b": jnp.zeros((8,))}
+        return TrainState.create(
+            apply_fn=lambda *a, **kw: None, params=params,
+            tx=optax.sgd(1e-3), batch_stats={"m": jnp.ones((8,))},
+        ).replace(step=step)
+
+    last = tmp_path / "ck" / "last"
+    io = CheckpointIO(str(tmp_path / "ck"), async_save=True)
+    io.save("last", mk_state(0, 1))
+    io.wait()
+    assert last.is_dir()
+
+    # async overwrite: immediately after save() returns, the OLD committed
+    # 'last' must still be on disk (the new one is only in .staging)
+    io.save("last", mk_state(1, 2))
+    assert last.is_dir(), "old checkpoint deleted before replacement durable"
+    r = io.restore(str(last), mk_state(9, 0))  # wait()s, then finalizes
+    assert int(r.step) == 2
+
+    # crash between commit and swap: only .staging remains -> resolved
+    os.rename(last, str(last) + ".staging")
+    io2 = CheckpointIO(str(tmp_path / "ck"), async_save=True)
+    r2 = io2.restore(str(last), mk_state(9, 0))
+    assert int(r2.step) == 2
+
+
 def test_prune_periodic_excludes_tmp_and_sorts_numerically(tmp_path):
     """Prune must skip orbax in-flight tmp dirs (an uncommitted async save
     is neither deleted nor counted as newest) and order by parsed epoch
