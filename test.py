@@ -68,10 +68,103 @@ def evaluate(cfg: dict, ckpt: str | None, report_dir: str | None = None,
     return result
 
 
+def _artifact_runner(artifact: str):
+    """Load a serving artifact and return ``(run, batch_size)`` where
+    ``run(x) -> (dets [B,M,6], valid [B,M])``. Rejects forward-only exports
+    (those lack decode+NMS and cannot be scored directly)."""
+    import numpy as np
+
+    if artifact.endswith(".tflite"):
+        from podtpu.export.tflite import load_interpreter
+
+        interp, inp = load_interpreter(artifact)
+        outs = interp.get_output_details()
+        # tflite output order is not guaranteed: identify by rank
+        dets_d = [d for d in outs if len(d["shape"]) == 3]
+        valid_d = [d for d in outs if len(d["shape"]) == 2]
+        if len(outs) != 2 or len(dets_d) != 1 or len(valid_d) != 1:
+            raise SystemExit(
+                f"{artifact} is not a serving artifact (expected outputs "
+                "dets [B,M,6] + valid [B,M]); re-export with "
+                "--with-postprocess")
+
+        def run(x):
+            interp.set_tensor(inp["index"], np.asarray(x, np.float32))
+            interp.invoke()
+            return (interp.get_tensor(dets_d[0]["index"]),
+                    interp.get_tensor(valid_d[0]["index"]).astype(bool))
+
+        return run, int(inp["shape"][0])
+
+    from podtpu.export.stablehlo import inspect_exported, load_exported
+
+    info = inspect_exported(artifact)
+    if len(info["out_avals"]) != 2:
+        raise SystemExit(
+            f"{artifact} is not a serving artifact (outputs: "
+            f"{info['out_avals']}); re-export with --with-postprocess")
+    fn = load_exported(artifact)
+
+    def run(x):
+        dets, valid = fn(x)
+        return np.asarray(dets), np.asarray(valid).astype(bool)
+
+    batch = int(info["in_avals"][0].split("[")[1].split(",")[0])
+    return run, batch
+
+
+def evaluate_artifact(cfg: dict, artifact: str,
+                      report_dir: str | None = None) -> dict:
+    """Score an exported serving artifact (fwd+decode+NMS) through the full
+    val-mAP pipeline — deployment-accuracy validation. The reference scores
+    its deployed graph by running the ONNX artifact and re-using the mAP
+    tooling (torch2onnx.py → onnx_inference.py → make_pred_file flow); this
+    is the one-command equivalent: artifact val_mAP should match the
+    checkpoint's ``test.py --ckpt`` number.
+    """
+    import numpy as np
+
+    from podtpu.metrics import MeanAveragePrecision
+
+    run, batch = _artifact_runner(artifact)
+    _, val_ds = build_datasets(cfg)
+    val_loader = Loader(val_ds, batch_size=batch, shuffle=False,
+                        max_annots=cfg["max_annots"], workers=cfg["workers"])
+    metric = MeanAveragePrecision(cfg["num_classes"], cfg["input_size"])
+    for b in val_loader:
+        n_valid = b.pop("n_valid", b["img"].shape[0])
+        x = np.asarray(b["img"])
+        if x.dtype == np.uint8:
+            x = x.astype(np.float32) / 255.0
+        dets, valid = run(x)
+        metric.update_state(b["annot"][:n_valid], dets[:n_valid],
+                            valid[:n_valid])
+    val_map = metric.result()
+    print(f"artifact val_mAP: {val_map:.5f}  ({artifact}, batch {batch})")
+    if report_dir:
+        import os
+
+        from podtpu.metrics.plots import write_eval_report
+        from podtpu.utils.viz import load_names
+
+        names = (load_names(cfg["names"])
+                 if cfg.get("names") and os.path.exists(cfg["names"])
+                 else [str(i) for i in range(cfg["num_classes"])])
+        paths = write_eval_report(metric, names, report_dir,
+                                  cfg.get("conf_threshold", 0.25))
+        print(f"report: {paths}")
+    return {"val_mAP": val_map}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cfg", required=True, type=str)
     ap.add_argument("--ckpt", type=str, default=None)
+    ap.add_argument("--artifact", type=str, default=None,
+                    help="score an exported serving artifact "
+                         "(.stablehlo/.tflite from export_model.py "
+                         "--with-postprocess) instead of a checkpoint: "
+                         "full val mAP through the deployed graph")
     ap.add_argument("--report", type=str, default=None,
                     help="write per-class AP table + PR curves + confusion "
                          "matrix to this directory")
@@ -82,7 +175,13 @@ def main():
     ap.add_argument("--platform", type=str, default=None,
                     help="pin JAX backend (e.g. cpu) for local runs")
     args = ap.parse_args()
+    if args.artifact and (args.ckpt or args.quantize):
+        ap.error("--artifact evaluates the exported graph as-is; "
+                 "--ckpt/--quantize apply to checkpoint evaluation")
     setup_platform(args.platform)
+    if args.artifact:
+        evaluate_artifact(get_configs(args.cfg), args.artifact, args.report)
+        return
     evaluate(get_configs(args.cfg), args.ckpt, args.report,
              quantize=args.quantize, calib_batches=args.calib_batches)
 

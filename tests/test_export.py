@@ -341,3 +341,56 @@ def test_serving_export_all_families(name, extra, tmp_path):
                                   np.asarray(want_valid))
     np.testing.assert_allclose(np.asarray(got_dets), np.asarray(want_dets),
                                atol=1e-5)
+
+
+def test_artifact_eval_matches_trainer_validate(tmp_path):
+    """`test.py --artifact` scores the exported serving graph through the
+    full val pipeline; its mAP must equal the in-process Trainer.validate
+    number on the same weights (deployment-accuracy validation — the
+    reference's onnx_inference.py → make_pred_file → mAP flow in one step).
+    """
+    import importlib.util
+    import os
+
+    from podtpu.data import Loader
+    from podtpu.data.dataset import YoloTxtDataset
+    from podtpu.data.synthetic import generate
+    from podtpu.export.stablehlo import export_serving
+    from podtpu.models import build_model
+    from podtpu.train.trainer import Trainer
+
+    info = generate(str(tmp_path / "data"), n_train=2, n_val=4, size=64,
+                    num_classes=2, max_objects=2, seed=11)
+    cfg = {
+        "model": "yolov4-tiny", "dataset_name": "arteval", "num_classes": 2,
+        "input_size": 64, "in_channels": 3, "compute_dtype": "float32",
+        "anchors": CFG["anchors"],
+        # low threshold so random-init weights emit detections — otherwise
+        # both pipelines trivially agree on an empty set
+        "conf_threshold": 0.02,
+        "max_annots": 4, "batch_size": 2, "workers": 1,
+        "top_k_candidates": 64, "max_detections": 10,
+        "optimizer": "sgd", "optimizer_options": {"lr": 1e-3},
+        "train_list": info["train_list"], "val_list": info["val_list"],
+        "names": info["names"], "seed": 0,
+    }
+    trainer = Trainer(cfg, eval_only=True, log=lambda *_: None)
+    val_ds = YoloTxtDataset(cfg["val_list"], 64, False, "simple")
+    val_loader = Loader(val_ds, batch_size=2, shuffle=False, max_annots=4,
+                        workers=1)
+    want = trainer.validate(val_loader)
+    assert trainer.map_metric._pred, "random weights produced no detections"
+
+    model = build_model(cfg)
+    variables = {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}
+    path = str(tmp_path / "serve.stablehlo")
+    export_serving(model, variables, cfg, (2, 64, 64, 3), path)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "podtpu_test_cli", os.path.join(repo, "test.py"))
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+    got = cli.evaluate_artifact(cfg, path)
+    np.testing.assert_allclose(got["val_mAP"], want["val_mAP"], atol=1e-6)
