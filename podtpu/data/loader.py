@@ -184,3 +184,8 @@ class Loader:
             # drain so a blocked producer can observe `stop` and exit
             while not q.empty():
                 q.get_nowait()
+            # then wait for it: close() must not return while pool workers
+            # are still decoding — callers may delete the data directory
+            # right after (tmpdir benches/tests), and an un-joined pool
+            # keeps stealing CPU from the next consumer
+            thread.join(timeout=30.0)

@@ -48,8 +48,10 @@ def time_forward(model, variables, x, iters: int) -> float:
     out = fn(variables, x)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(variables, x)
+    # perturb the input each iteration: the axon terminal memoizes identical
+    # dispatches (same program + same buffers never touch the chip)
+    for k in range(iters):
+        out = fn(variables, x + k * 1e-6)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 

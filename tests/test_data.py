@@ -258,6 +258,34 @@ def test_loader_shapes_and_epochs(synth):
     assert not np.array_equal(first, second)
 
 
+def test_loader_close_joins_producer():
+    """Closing the iterator must not return while pool workers are still
+    reading samples — callers delete the data directory right after close
+    (tmpdir benches/tests), racing any in-flight decode."""
+    import time
+
+    calls = []
+
+    class SlowDS:
+        def __len__(self):
+            return 16
+
+        def get(self, index, seed):
+            time.sleep(0.05)
+            calls.append(index)
+            return (np.zeros((8, 8, 3), np.float32),
+                    np.zeros((0, 5), np.float32))
+
+    loader = Loader(SlowDS(), batch_size=4, shuffle=False, max_annots=2,
+                    workers=2, prefetch=2)
+    it = iter(loader)
+    next(it)
+    it.close()
+    n_after_close = len(calls)
+    time.sleep(0.3)  # any un-joined worker would land more reads here
+    assert len(calls) == n_after_close
+
+
 def test_loader_host_sharding(synth):
     ds = YoloTxtDataset(synth["train_list"], 160, augment=False)
     seen = []

@@ -62,11 +62,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--out", default="/tmp/async_ab")
     args = ap.parse_args()
-    if args.platform:
-        os.environ["JAX_PLATFORMS"] = args.platform
-        import jax
+    from podtpu.config import setup_platform
 
-        jax.config.update("jax_platforms", args.platform)
+    setup_platform(args.platform)
     from podtpu.data.synthetic import generate
 
     os.makedirs(args.out, exist_ok=True)

@@ -28,15 +28,16 @@ def bench(ds, batch: int, workers: int, mode: str, n_images: int) -> float:
     loader = Loader(ds, batch_size=batch, shuffle=True, max_annots=16,
                     workers=workers, worker_mode=mode, seed=0)
     loader.set_epoch(0)
-    # warm one batch (thread/process pool spin-up, page cache); close the
-    # iterator so its producer thread stops before timing starts
-    it = iter(loader)
-    next(it)
-    it.close()
-    t0 = time.perf_counter()
+    # Loader builds a fresh executor per iterator, so a throwaway warm
+    # iterator would NOT warm the pool the timed run uses. Instead consume
+    # the first batch of the timed iterator untimed: it absorbs pool
+    # spin-up (seconds for spawn-mode process workers) and page-cache cold
+    # reads, then the clock starts.
     seen = 0
     it = iter(loader)
     try:
+        next(it)
+        t0 = time.perf_counter()
         for b in it:
             seen += b["img"].shape[0]
             if seen >= n_images:
@@ -57,7 +58,9 @@ def main():
                             "process:1,process:2,process:4")
     ap.add_argument("--pipeline", type=str, default="letterbox",
                     choices=["letterbox", "simple"])
-    ap.add_argument("--uint8", action="store_true", default=True)
+    ap.add_argument("--uint8", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="--no-uint8 benches the float32 batch path")
     args = ap.parse_args()
 
     with tempfile.TemporaryDirectory() as tmp:

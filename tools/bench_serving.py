@@ -39,8 +39,10 @@ def _bench(path: str, iters: int) -> dict:
     out = fn(x)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(x)
+    # perturb the input each iteration: the axon terminal memoizes identical
+    # dispatches (same program + same buffers return in ~30 us off-chip)
+    for k in range(iters):
+        out = fn(x + k * 1e-6)
     jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
     jax.device_get(out)
     dt = time.perf_counter() - t0
