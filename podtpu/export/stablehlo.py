@@ -55,21 +55,16 @@ def export_serving(model, variables, cfg: dict, input_shape, path: str,
     nms in one module (utils/yolov3_utils.py:62-90). This is its artifact
     equivalent: one StableHLO program from image batch to
     ``(detections [B, max_det, 6], valid [B, max_det])``, weights frozen.
+    cfg ``nms_options`` (multi_label/merge/agnostic/classes) bake into the
+    artifact.
     """
-    from podtpu.ops.nms import batched_class_aware_nms
-    from podtpu.train.steps import make_decoder
+    from podtpu.train.steps import make_postprocess
 
-    decoder = make_decoder(cfg)
-    conf_t = float(cfg.get("conf_threshold", 0.25))
-    iou_t = float(cfg.get("nms_iou_threshold", 0.45))
-    top_k = int(cfg.get("top_k_candidates", 512))
-    max_det = int(cfg.get("max_detections", 100))
+    postprocess = make_postprocess(cfg)
 
     def serve(x):
         preds = model.apply(variables, x, train=False)
-        boxes = decoder(preds)
-        return batched_class_aware_nms(boxes, conf_t, iou_t, top_k=top_k,
-                                       max_detections=max_det)
+        return postprocess(preds)
 
     x_spec = jax.ShapeDtypeStruct(input_shape, dtype)
     exported = jexport.export(jax.jit(serve), platforms=platforms)(x_spec)

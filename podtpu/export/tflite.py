@@ -33,20 +33,13 @@ def _serving_fn(model, variables, cfg: dict | None,
     if not with_postprocess:
         return lambda x: model.apply(variables, x, train=False)
 
-    from podtpu.ops.nms import batched_class_aware_nms
-    from podtpu.train.steps import make_decoder
+    from podtpu.train.steps import make_postprocess
 
-    decoder = make_decoder(cfg)
-    conf_t = float(cfg.get("conf_threshold", 0.25))
-    iou_t = float(cfg.get("nms_iou_threshold", 0.45))
-    top_k = int(cfg.get("top_k_candidates", 512))
-    max_det = int(cfg.get("max_detections", 100))
+    postprocess = make_postprocess(cfg)
 
     def serve(x):
         preds = model.apply(variables, x, train=False)
-        boxes = decoder(preds)
-        return batched_class_aware_nms(boxes, conf_t, iou_t, top_k=top_k,
-                                       max_detections=max_det)
+        return postprocess(preds)
 
     return serve
 

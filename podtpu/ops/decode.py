@@ -34,6 +34,7 @@ def decode_anchor_head(
     num_classes: int,
     anchors_grid: jnp.ndarray,
     input_size: int,
+    multi_label: bool = False,
 ) -> jnp.ndarray:
     """Decode one anchor-grid head (YOLOv2 head or one YOLOv3/v4-tiny scale).
 
@@ -43,9 +44,15 @@ def decode_anchor_head(
       anchors_grid: [A, 2] anchors in *grid units* of this layer (i.e. the
         reference's ``scaled_anchors``).
       input_size: model input resolution (pixels).
+      multi_label: emit one candidate per (anchor, class) pair with
+        ``conf = sigmoid(obj) * sigmoid(cls_c)`` — the reference's dormant
+        Ultralytics ``multi_label`` semantics (general.py:684-692), kept
+        fixed-shape by emitting all C rows and letting NMS's confidence
+        mask drop the sub-threshold ones.
 
     Returns:
-      [B, H*W*A, 6] rows ``[cx, cy, w, h, conf, cls]`` in input-pixel scale.
+      [B, H*W*A, 6] rows ``[cx, cy, w, h, conf, cls]`` in input-pixel scale
+      (``[B, H*W*A*C, 6]`` under ``multi_label``).
     """
     b, layer_h, layer_w, _ = pred.shape
     num_anchors = anchors_grid.shape[0]
@@ -63,6 +70,17 @@ def decode_anchor_head(
     pbox = jnp.concatenate([pxy, pwh], axis=-1) * jnp.array(
         [stride_w, stride_h, stride_w, stride_h], dtype=jnp.float32
     )
+    if multi_label:
+        c = num_classes
+        conf = (jax.nn.sigmoid(pred[..., 4:5])
+                * jax.nn.sigmoid(pred[..., 5:]))  # [B,H,W,A,C]
+        shape = (b, layer_h, layer_w, num_anchors, c)
+        box = jnp.broadcast_to(pbox[..., None, :], shape + (4,))
+        cls = jnp.broadcast_to(
+            jnp.arange(c, dtype=jnp.float32), shape)
+        out = jnp.concatenate(
+            [box, conf[..., None], cls[..., None]], axis=-1)
+        return out.reshape(b, layer_h * layer_w * num_anchors * c, 6)
     pconf = jax.nn.sigmoid(pred[..., 4:5])
     # argmax(sigmoid(x)) == argmax(x): skip the elementwise sigmoid the
     # reference applies before its argmax (yolov3_utils.py:51,57).
@@ -71,13 +89,15 @@ def decode_anchor_head(
     return out.reshape(b, layer_h * layer_w * num_anchors, 6)
 
 
-def decode_yolov2(pred, num_classes, scaled_anchors, input_size):
+def decode_yolov2(pred, num_classes, scaled_anchors, input_size,
+                  multi_label=False):
     """YOLOv2: single 13x13 head; ``scaled_anchors`` are already grid units."""
     anchors = jnp.asarray(scaled_anchors, dtype=jnp.float32)
-    return decode_anchor_head(pred, num_classes, anchors, input_size)
+    return decode_anchor_head(pred, num_classes, anchors, input_size,
+                              multi_label=multi_label)
 
 
-def decode_yolov3(preds, num_classes, anchors, input_size):
+def decode_yolov3(preds, num_classes, anchors, input_size, multi_label=False):
     """YOLOv3/v4-tiny: decode [p3, p4, p5]; global ``anchors`` are in input
     pixels, split 3-per-layer and rescaled to each layer's grid units
     (yolov3_utils.py:29-31,76-84)."""
@@ -90,7 +110,8 @@ def decode_yolov3(preds, num_classes, anchors, input_size):
         layer_anchors = anchors[3 * idx : 3 * idx + 3] / jnp.array(
             [stride_w, stride_h], dtype=jnp.float32
         )
-        outs.append(decode_anchor_head(pred, num_classes, layer_anchors, input_size))
+        outs.append(decode_anchor_head(pred, num_classes, layer_anchors,
+                                       input_size, multi_label=multi_label))
     return jnp.concatenate(outs, axis=1)
 
 

@@ -32,7 +32,7 @@ from podtpu.ops.boxes import cxcywh_to_xyxy, pairwise_iou
 _CLASS_OFFSET = 8192.0
 
 _STATIC = ("conf_threshold", "iou_threshold", "top_k", "max_detections",
-           "backend")
+           "backend", "agnostic", "merge", "classes")
 
 
 def _default_backend() -> str:
@@ -49,17 +49,27 @@ def _default_backend() -> str:
     return "xla"
 
 
-def _select_candidates(boxes: jnp.ndarray, conf_threshold: float, top_k: int):
+def _select_candidates(boxes: jnp.ndarray, conf_threshold: float, top_k: int,
+                       agnostic: bool = False,
+                       classes: tuple[int, ...] | None = None):
     """[N, 6] -> (cand [K, 6], cand_valid [K], offset_boxes [K, 4])."""
     n = boxes.shape[0]
     k = min(top_k, n)
     conf = boxes[:, 4]
     score = jnp.where(conf > conf_threshold, conf, -1.0)
+    if classes is not None:
+        # class filter (the reference's `classes=` option, general.py:697-698)
+        allowed = jnp.isin(boxes[:, 5],
+                           jnp.asarray(classes, dtype=boxes.dtype))
+        score = jnp.where(allowed, score, -1.0)
     top_scores, top_idx = jax.lax.top_k(score, k)
     cand = boxes[top_idx]
     cand_valid = top_scores > 0.0
 
     xyxy = cxcywh_to_xyxy(cand[:, 0:4])
+    if agnostic:
+        # class-agnostic suppression (general.py:712 `agnostic` -> offset 0)
+        return cand, cand_valid, xyxy
     # Shift each class into its own disjoint coordinate region so one IoU
     # matrix implements class-aware suppression. The stride must exceed the
     # full coordinate span — untrained heads can emit exp() boxes far larger
@@ -80,6 +90,30 @@ def _xla_suppress(offset_boxes: jnp.ndarray, cand_valid: jnp.ndarray,
         return jnp.where(alive, keep & ~suppress[i], keep)
 
     return jax.lax.fori_loop(0, k, body, cand_valid)
+
+
+def _merge_kept(cand: jnp.ndarray, cand_valid: jnp.ndarray,
+                offset_boxes: jnp.ndarray, keep: jnp.ndarray,
+                iou_threshold: float):
+    """Merge-NMS (general.py:714-721): each survivor becomes the
+    score-weighted mean of every candidate overlapping it above the IoU
+    threshold (same-class overlap — the IoU runs on offset boxes), and
+    survivors without a second contributor are dropped (``redundant``).
+    The weighted mean runs on cxcywh directly: it is linear in xyxy, so the
+    result equals the reference's xyxy-space average. Matches the
+    reference's ``1 < n`` gate (a single candidate is returned unmerged);
+    its ``n < 3E3`` upper gate is a CPU-time guard with no analog here —
+    one [K, K] matmul is the point of the TPU formulation."""
+    iou = pairwise_iou(offset_boxes, offset_boxes) > iou_threshold
+    contrib = iou & cand_valid[None, :]
+    w = contrib * jnp.where(cand_valid, cand[:, 4], 0.0)[None, :]
+    merged = (w @ cand[:, 0:4]) / jnp.maximum(
+        jnp.sum(w, axis=1, keepdims=True), 1e-12)
+    do = (jnp.sum(cand_valid) > 1) & keep
+    boxes4 = jnp.where(do[:, None], merged, cand[:, 0:4])
+    keep = keep & jnp.where(jnp.sum(cand_valid) > 1,
+                            jnp.sum(contrib, axis=1) > 1, True)
+    return jnp.concatenate([boxes4, cand[:, 4:]], axis=1), keep
 
 
 def _finalize(cand: jnp.ndarray, keep: jnp.ndarray, max_detections: int):
@@ -104,12 +138,22 @@ def batched_class_aware_nms(
     top_k: int = 512,
     max_detections: int = 100,
     backend: str | None = None,
+    agnostic: bool = False,
+    merge: bool = False,
+    classes: tuple[int, ...] | None = None,
 ):
-    """[B, N, 6] candidates -> ([B, max_det, 6], [B, max_det] valid)."""
+    """[B, N, 6] candidates -> ([B, max_det, 6], [B, max_det] valid).
+
+    ``agnostic``/``merge``/``classes`` mirror the reference's dormant
+    Ultralytics ``non_max_suppression`` options (general.py:639-731):
+    class-agnostic suppression, merge-NMS box fusion, and a keep-only-these
+    class filter. All three stay fixed-shape (masking, not filtering).
+    """
     if backend is None:
         backend = _default_backend()
     cand, cand_valid, offset_boxes = jax.vmap(
-        lambda b: _select_candidates(b, conf_threshold, top_k)
+        lambda b: _select_candidates(b, conf_threshold, top_k, agnostic,
+                                     classes)
     )(boxes)
     if backend in ("pallas", "pallas_interpret"):
         from podtpu.ops.pallas.nms_kernel import pallas_greedy_suppress
@@ -122,6 +166,10 @@ def batched_class_aware_nms(
         keep = jax.vmap(
             lambda ob, cv: _xla_suppress(ob, cv, iou_threshold)
         )(offset_boxes, cand_valid)
+    if merge:
+        cand, keep = jax.vmap(
+            lambda c, cv, ob, kp: _merge_kept(c, cv, ob, kp, iou_threshold)
+        )(cand, cand_valid, offset_boxes, keep)
     return jax.vmap(lambda c, kp: _finalize(c, kp, max_detections))(cand, keep)
 
 
@@ -133,10 +181,13 @@ def nms_padded(
     top_k: int = 512,
     max_detections: int = 100,
     backend: str | None = None,
+    agnostic: bool = False,
+    merge: bool = False,
+    classes: tuple[int, ...] | None = None,
 ):
     """Single-image NMS: [N, 6] -> ([max_det, 6], [max_det] valid)."""
     out, valid = batched_class_aware_nms(
         boxes[None], conf_threshold, iou_threshold, top_k, max_detections,
-        backend,
+        backend, agnostic, merge, classes,
     )
     return out[0], valid[0]

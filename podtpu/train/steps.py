@@ -101,25 +101,66 @@ def _as_input(img: jnp.ndarray) -> jnp.ndarray:
     return img
 
 
-def make_decoder(cfg: dict) -> Callable:
+def make_decoder(cfg: dict, multi_label: bool = False) -> Callable:
     """Config -> fn(raw head output(s)) -> [B, N, 6] candidates."""
     name = cfg["model"]
     num_classes = cfg["num_classes"]
     input_size = cfg["input_size"]
     if name == "yolov1":
+        if multi_label:
+            raise ValueError("multi_label needs per-box class scores; the "
+                             "yolov1 head predicts one class set per cell")
         num_boxes = cfg["num_boxes"]
         return lambda preds: decode_yolov1(preds, num_classes, num_boxes, input_size)
     if name == "yolov2":
         anchors = cfg["scaled_anchors"]
-        return lambda preds: decode_yolov2(preds, num_classes, anchors, input_size)
+        return lambda preds: decode_yolov2(preds, num_classes, anchors,
+                                           input_size,
+                                           multi_label=multi_label)
     if name in ("yolov3", "yolov4", "yolov4-tiny"):
         anchors = cfg["anchors"]
-        return lambda preds: decode_yolov3(preds, num_classes, anchors, input_size)
+        return lambda preds: decode_yolov3(preds, num_classes, anchors,
+                                           input_size,
+                                           multi_label=multi_label)
     if name == "retinanet":
+        if multi_label:
+            raise ValueError("multi_label is a YOLO-head option; the "
+                             "retinanet decoder is per-anchor single-label")
         from podtpu.ops.retina import decode_retinanet
 
         return lambda preds: decode_retinanet(preds, num_classes, input_size)
     raise ValueError(f"unknown model '{name}'")
+
+
+def make_postprocess(cfg: dict) -> Callable:
+    """Config -> fn(raw preds) -> (dets [B, max_det, 6], valid [B, max_det]).
+
+    Decode + padded NMS — the deployment postprocess shared by the eval step
+    and the serving exports (the reference's ``DecodeYoloVx`` unit,
+    utils/yolov3_utils.py:62-90). cfg ``nms_options`` carries the dormant
+    Ultralytics ``non_max_suppression`` variants (general.py:639-731):
+    ``multi_label`` (one candidate per (anchor, class), conf = obj*cls),
+    ``merge`` (weighted box fusion), ``agnostic`` (class-blind suppression),
+    ``classes`` (keep-only filter).
+    """
+    nopts = cfg.get("nms_options") or {}
+    decoder = make_decoder(cfg, multi_label=bool(nopts.get("multi_label")))
+    conf_t = float(cfg.get("conf_threshold", 0.25))
+    iou_t = float(cfg.get("nms_iou_threshold", 0.45))
+    top_k = int(cfg.get("top_k_candidates", 512))
+    max_det = int(cfg.get("max_detections", 100))
+    merge = bool(nopts.get("merge"))
+    agnostic = bool(nopts.get("agnostic"))
+    classes = nopts.get("classes")
+    classes = tuple(int(c) for c in classes) if classes else None
+
+    def postprocess(preds):
+        boxes = decoder(preds)
+        return batched_class_aware_nms(
+            boxes, conf_t, iou_t, top_k=top_k, max_detections=max_det,
+            agnostic=agnostic, merge=merge, classes=classes)
+
+    return postprocess
 
 
 def make_train_step(cfg: dict, mesh=None, donate: bool = True,
@@ -275,11 +316,7 @@ def make_eval_step(cfg: dict, mesh=None, extra_variables: dict | None = None,
     --quantize int8). They are closed over, i.e. compiled in as constants.
     """
     loss_fn = build_loss(cfg)
-    decoder = make_decoder(cfg)
-    conf_t = float(cfg.get("conf_threshold", 0.25))
-    iou_t = float(cfg.get("nms_iou_threshold", 0.45))
-    top_k = int(cfg.get("top_k_candidates", 512))
-    max_det = int(cfg.get("max_detections", 100))
+    postprocess = make_postprocess(cfg)
 
     opts = compiler_options(cfg)
 
@@ -293,10 +330,7 @@ def make_eval_step(cfg: dict, mesh=None, extra_variables: dict | None = None,
             train=False,
         )
         loss = loss_fn(preds, batch["annot"])
-        boxes = decoder(preds)
-        dets, valid = batched_class_aware_nms(
-            boxes, conf_t, iou_t, top_k=top_k, max_detections=max_det
-        )
+        dets, valid = postprocess(preds)
         return loss, dets, valid
 
     if mesh is None:

@@ -156,6 +156,149 @@ def test_host_nms_variants():
     assert 30.0 < x1 < 32.1 and not np.isclose(x1, 30.0)
 
 
+def test_device_nms_agnostic():
+    """agnostic=True suppresses across classes (general.py:712: offset 0)."""
+    boxes = np.zeros((1, 4, 6), np.float32)
+    boxes[0, 0] = [50, 50, 40, 40, 0.9, 1]
+    boxes[0, 1] = [50, 50, 40, 40, 0.8, 2]  # same box, other class
+    out, valid = batched_class_aware_nms(jnp.asarray(boxes), top_k=4,
+                                         max_detections=4)
+    assert int(np.asarray(valid).sum()) == 2  # class-aware: both survive
+    out, valid = batched_class_aware_nms(jnp.asarray(boxes), top_k=4,
+                                         max_detections=4, agnostic=True)
+    kept = np.asarray(out)[np.asarray(valid)]
+    assert len(kept) == 1 and kept[0, 4] == pytest.approx(0.9)
+
+
+def test_device_nms_classes_filter():
+    """classes=(...) keeps only those class ids (general.py:697-698)."""
+    boxes = np.zeros((1, 4, 6), np.float32)
+    boxes[0, 0] = [50, 50, 40, 40, 0.9, 1]
+    boxes[0, 1] = [150, 150, 40, 40, 0.8, 2]
+    boxes[0, 2] = [250, 250, 40, 40, 0.7, 3]
+    out, valid = batched_class_aware_nms(jnp.asarray(boxes), top_k=4,
+                                         max_detections=4, classes=(2, 3))
+    kept = np.asarray(out)[np.asarray(valid)]
+    assert sorted(kept[:, 5].tolist()) == [2.0, 3.0]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_device_merge_nms_matches_reference_math(seed):
+    """merge=True must reproduce the Ultralytics merge-NMS matrix math
+    (general.py:714-721) — weights = (IoU > thr) * scores over ALL
+    candidates, weighted-mean boxes, survivors need >= 2 contributors."""
+    rng = np.random.default_rng(seed)
+    n, k = 64, 32
+    boxes = np.zeros((n, 6), np.float32)
+    boxes[:, 0:2] = rng.uniform(40, 160, (n, 2))
+    boxes[:, 2:4] = rng.uniform(20, 80, (n, 2))
+    boxes[:, 4] = rng.uniform(0, 1, n)
+    boxes[:, 5] = rng.integers(0, 3, n)
+
+    out, valid = batched_class_aware_nms(
+        jnp.asarray(boxes)[None], conf_threshold=0.25, iou_threshold=0.45,
+        top_k=k, max_detections=k, merge=True)
+    got = np.asarray(out)[0][np.asarray(valid)[0]]
+
+    # numpy oracle of the same padded pipeline + reference merge math
+    score = np.where(boxes[:, 4] > 0.25, boxes[:, 4], -1.0)
+    idx = np.argsort(-score, kind="stable")[:k]
+    cand = boxes[idx]
+    cand_valid = score[idx] > 0
+    xyxy = np.asarray(cxcywh_to_xyxy(jnp.asarray(cand[:, :4])))
+    span = max(np.abs(xyxy).max(), 8192.0) * 2.0 + 1.0
+    off = xyxy + cand[:, 5:6] * span
+    keep = greedy_oracle(off, cand_valid, 0.45)
+
+    ious = np.stack([_iou_row(off[i], off) for i in range(k)])
+    contrib = (ious > 0.45) & cand_valid[None, :]
+    w = contrib * np.where(cand_valid, cand[:, 4], 0.0)[None, :]
+    merged_xyxy = (w @ xyxy) / np.maximum(w.sum(1, keepdims=True), 1e-12)
+    want_rows = []
+    for i in range(k):
+        if not keep[i] or contrib[i].sum() <= 1:  # redundant filter
+            continue
+        x1, y1, x2, y2 = merged_xyxy[i]
+        want_rows.append([(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1,
+                          cand[i, 4], cand[i, 5]])
+    want = np.array(sorted(want_rows, key=lambda r: -r[4]), np.float32)
+    assert len(got) == len(want) > 0
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def _iou_row(box, others):
+    xy1 = np.maximum(box[:2], others[:, :2])
+    xy2 = np.minimum(box[2:4], others[:, 2:4])
+    inter = np.clip(xy2 - xy1, 0, None).prod(axis=1)
+    a1 = np.clip(box[2:4] - box[:2], 0, None).prod()
+    a2 = np.clip(others[:, 2:4] - others[:, :2], 0, None).prod(axis=1)
+    return inter / (a1 + a2 - inter + 1e-9)
+
+
+def test_merge_nms_single_candidate_unmerged():
+    """The reference merges only when 1 < n: a lone detection survives
+    un-merged instead of being dropped by the redundancy filter."""
+    boxes = np.zeros((1, 4, 6), np.float32)
+    boxes[0, 0] = [50, 50, 40, 40, 0.9, 1]
+    out, valid = batched_class_aware_nms(jnp.asarray(boxes), top_k=4,
+                                         max_detections=4, merge=True)
+    kept = np.asarray(out)[np.asarray(valid)]
+    assert len(kept) == 1
+    np.testing.assert_allclose(kept[0, :4], [50, 50, 40, 40], rtol=1e-5)
+
+
+def test_multilabel_decode_and_nms():
+    """multi_label decode emits conf = sigmoid(obj)*sigmoid(cls_c) per
+    (anchor, class) (general.py:684-692); NMS then keeps one detection per
+    strong class on the same box."""
+    from podtpu.ops.decode import decode_anchor_head
+
+    b, c, a = 1, 4, 3
+    pred = np.full((b, 2, 2, a * (5 + c)), -12.0, np.float32)
+    # anchor 0 of cell (0,0): strong obj, classes 1 and 3 hot
+    view = pred.reshape(b, 2, 2, a, 5 + c)
+    view[0, 0, 0, 0, :5] = [0.0, 0.0, 0.0, 0.0, 6.0]
+    view[0, 0, 0, 0, 5 + 1] = 5.0
+    view[0, 0, 0, 0, 5 + 3] = 4.0
+    anchors = jnp.asarray([[1.0, 1.0], [2.0, 2.0], [3.0, 3.0]], jnp.float32)
+    cand = decode_anchor_head(jnp.asarray(pred), c, anchors, 64,
+                              multi_label=True)
+    assert cand.shape == (b, 2 * 2 * a * c, 6)
+    conf = np.asarray(cand[0, :, 4])
+    obj = 1 / (1 + np.exp(-6.0))
+    np.testing.assert_allclose(conf.max(), obj / (1 + np.exp(-5.0)),
+                               rtol=1e-5)
+
+    out, valid = batched_class_aware_nms(cand, conf_threshold=0.5,
+                                         top_k=16, max_detections=8)
+    kept = np.asarray(out)[0][np.asarray(valid)[0]]
+    assert sorted(kept[:, 5].tolist()) == [1.0, 3.0]  # same box, two labels
+    np.testing.assert_allclose(kept[0, :4], kept[1, :4], rtol=1e-5)
+
+
+def test_make_postprocess_nms_options():
+    """cfg `nms_options` plumbs multi_label/merge/agnostic/classes into the
+    shared decode+NMS postprocess used by eval and the serving exports."""
+    from podtpu.train.steps import make_decoder, make_postprocess
+
+    cfg = {
+        "model": "yolov4-tiny", "num_classes": 3, "input_size": 64,
+        "anchors": [[4, 5], [6, 8], [10, 9], [12, 16], [18, 14],
+                    [20, 24], [32, 28], [40, 44], [56, 52]],
+        "conf_threshold": 0.1, "top_k_candidates": 32, "max_detections": 8,
+        "nms_options": {"multi_label": True, "merge": True},
+    }
+    post = make_postprocess(cfg)
+    preds = [jnp.asarray(np.random.default_rng(0).normal(
+        0, 1, (2, s, s, 3 * 8)).astype(np.float32)) for s in (8, 4, 2)]
+    dets, valid = post(preds)
+    assert dets.shape == (2, 8, 6) and valid.shape == (2, 8)
+
+    with pytest.raises(ValueError, match="multi_label"):
+        make_decoder({"model": "yolov1", "num_classes": 3, "input_size": 64,
+                      "num_boxes": 2}, multi_label=True)
+
+
 @pytest.mark.slow
 def test_decode_shapes_and_scale():
     b, c = 2, 20
