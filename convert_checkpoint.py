@@ -93,6 +93,10 @@ def main():
         return
 
     if args.ckpt.endswith(".npz"):
+        if args.out.endswith(".npz"):
+            raise SystemExit(
+                "npz -> orbax conversion: --out is the orbax checkpoint "
+                f"DIRECTORY and must not end in .npz (got '{args.out}')")
         io = CheckpointIO(args.out)
         io.save("converted", state)
         print(f"wrote orbax checkpoint to {args.out}/converted")

@@ -68,8 +68,10 @@ def main():
     out = fn(x)  # compile
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = fn(x)
+    # perturb the input each iteration: the axon terminal memoizes identical
+    # dispatches (same program + same buffers never touch the chip)
+    for k in range(args.iters):
+        out = fn(x + k * 1e-6)
     jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
     # device_get forces a real round trip — block_until_ready alone has
     # been observed returning early over the remote-TPU tunnel

@@ -41,24 +41,38 @@ def _iou_matrix(dets: np.ndarray, gts: np.ndarray) -> np.ndarray:
     return inter / union
 
 
-def _match_class(dets: np.ndarray, gts: np.ndarray, iou_thr: float
-                 ) -> np.ndarray:
-    """TP flags for confidence-sorted dets of one class (COCO matcher)."""
-    tp = np.zeros(len(dets), bool)
+def _match_class(dets: np.ndarray, gts: np.ndarray,
+                 iou_thresholds: np.ndarray) -> np.ndarray:
+    """TP flags [T, N] for confidence-sorted dets of one class (COCO
+    matcher). Per-image IoU matrices are computed once and reused across
+    all T thresholds (pycocotools' structure — IoU is threshold-free, only
+    the greedy taken/tp pass depends on the threshold)."""
+    iou_thresholds = np.atleast_1d(iou_thresholds)
+    tp = np.zeros((len(iou_thresholds), len(dets)), bool)
     for img in np.unique(dets[:, 0]):
         d_idx = np.where(dets[:, 0] == img)[0]
         g_rows = gts[gts[:, 0] == img]
         if not len(g_rows):
             continue
         iou = _iou_matrix(dets[d_idx], g_rows)
-        taken = np.zeros(len(g_rows), bool)
-        for row, d in enumerate(d_idx):
-            cand = np.where(~taken & (iou[row] >= iou_thr))[0]
-            if len(cand):
-                best = cand[np.argmax(iou[row][cand])]
-                taken[best] = True
-                tp[d] = True
+        for t, thr in enumerate(iou_thresholds):
+            taken = np.zeros(len(g_rows), bool)
+            for row, d in enumerate(d_idx):
+                cand = np.where(~taken & (iou[row] >= thr))[0]
+                if len(cand):
+                    best = cand[np.argmax(iou[row][cand])]
+                    taken[best] = True
+                    tp[t, d] = True
     return tp
+
+
+def sample_ap_101(precision: np.ndarray, recall: np.ndarray) -> float:
+    """101-point interpolated AP: precision envelope sampled on the COCO
+    recall grid. ``recall`` must be non-decreasing (cumulative TP order)."""
+    env = np.maximum.accumulate(precision[::-1])[::-1]
+    idx = np.searchsorted(recall, RECALL_GRID, side="left")
+    p = np.where(idx < len(env), env[np.minimum(idx, len(env) - 1)], 0.0)
+    return float(p.mean())
 
 
 def _ap_101(tp: np.ndarray, conf: np.ndarray, n_gt: int) -> float:
@@ -68,13 +82,7 @@ def _ap_101(tp: np.ndarray, conf: np.ndarray, n_gt: int) -> float:
     fp_cum = np.cumsum(~tp)
     recall = tp_cum / max(n_gt, 1)
     precision = tp_cum / np.maximum(tp_cum + fp_cum, 1e-9)
-    # precision envelope then sample on the 101-point recall grid
-    for i in range(len(precision) - 2, -1, -1):
-        precision[i] = max(precision[i], precision[i + 1])
-    idx = np.searchsorted(recall, RECALL_GRID, side="left")
-    p = np.where(idx < len(precision), precision[np.minimum(idx, len(precision) - 1)], 0.0)
-    p[idx >= len(precision)] = 0.0
-    return float(p.mean())
+    return sample_ap_101(precision, recall)
 
 
 def coco_eval(true_boxes: np.ndarray, pred_boxes: np.ndarray,
@@ -93,18 +101,22 @@ def coco_eval(true_boxes: np.ndarray, pred_boxes: np.ndarray,
             per_class[c] = 0.0
             continue
         dets = dets[np.argsort(-dets[:, 5], kind="stable")]
-        for t, thr in enumerate(IOU_THRESHOLDS):
-            tp = _match_class(dets, gts, float(thr))
-            per_class[c, t] = _ap_101(tp, dets[:, 5], len(gts))
+        tp_all = _match_class(dets, gts, IOU_THRESHOLDS)
+        for t in range(len(IOU_THRESHOLDS)):
+            per_class[c, t] = _ap_101(tp_all[t], dets[:, 5], len(gts))
 
     present = ~np.isnan(per_class[:, 0])
     if not present.any():
         return {"AP": 0.0, "AP50": 0.0, "AP75": 0.0,
                 "per_class": np.zeros(num_classes)}
     ap_matrix = per_class[present]
+    # present rows are fully populated -> plain mean (nanmean over absent
+    # all-NaN rows would spam "Mean of empty slice" warnings)
+    per_class_mean = np.zeros(num_classes)
+    per_class_mean[present] = ap_matrix.mean(axis=1)
     return {
         "AP": float(ap_matrix.mean()),
         "AP50": float(ap_matrix[:, 0].mean()),
         "AP75": float(ap_matrix[:, 5].mean()),
-        "per_class": np.where(present, np.nanmean(per_class, axis=1), 0.0),
+        "per_class": per_class_mean,
     }

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from podtpu.metrics.coco import _iou_matrix
+from podtpu.metrics.coco import _iou_matrix, sample_ap_101
 
 
 def ap_per_class(true_boxes: np.ndarray, pred_boxes: np.ndarray,
@@ -43,13 +43,7 @@ def ap_per_class(true_boxes: np.ndarray, pred_boxes: np.ndarray,
         f = 2 * p * r / np.maximum(p + r, eps)
         best = int(np.argmax(f))
         precision[c], recall[c], f1[c] = p[best], r[best], f[best]
-        # 101-point interpolated AP
-        env = np.maximum.accumulate(p[::-1])[::-1]
-        grid = np.linspace(0, 1, 101)
-        idx = np.searchsorted(r, grid, side="left")
-        sampled = np.where(idx < len(env), env[np.minimum(idx, len(env) - 1)], 0.0)
-        sampled[idx >= len(env)] = 0.0
-        ap[c] = sampled.mean()
+        ap[c] = sample_ap_101(p, r)  # 101-point interpolated AP
         curves[c] = (r, p, dets_sorted[:, 5])
     return {"precision": precision, "recall": recall, "f1": f1, "ap": ap,
             "curves": curves}

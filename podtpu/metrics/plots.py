@@ -65,11 +65,25 @@ def plot_confusion_matrix(matrix: np.ndarray, class_names, out_path: str
     return out_path
 
 
+def build_confusion_matrix(true: np.ndarray, pred: np.ndarray,
+                           num_classes: int, conf_threshold: float = 0.25):
+    """Accumulate a ConfusionMatrix over per-image row groups. Iterates the
+    union of image ids: a GT-less image with detections still contributes
+    its FP-vs-background column."""
+    from podtpu.metrics.curves import ConfusionMatrix
+
+    cm = ConfusionMatrix(num_classes, conf_threshold)
+    img_ids = np.unique(np.concatenate([true[:, 0], pred[:, 0]]))
+    for img in img_ids:
+        cm.update(pred[pred[:, 0] == img], true[true[:, 0] == img])
+    return cm
+
+
 def write_eval_report(metric, class_names, out_dir: str,
                       conf_threshold: float = 0.25) -> dict:
     """Per-class AP/TP/FP/FN table + PR curves + confusion matrix from a
     consumed MeanAveragePrecision accumulator. Returns summary paths."""
-    from podtpu.metrics.curves import ConfusionMatrix, ap_per_class
+    from podtpu.metrics.curves import ap_per_class
 
     os.makedirs(out_dir, exist_ok=True)
     true = (np.concatenate(metric._true) if metric._true
@@ -87,14 +101,14 @@ def write_eval_report(metric, class_names, out_dir: str,
         f.write(f"{'mAP':<20}{per_class[:, 0].mean():>8.4f}\n")
 
     out = {"table": table_path}
-    curves = ap_per_class(true, pred, metric.num_classes)["curves"]
+    curves = ap_per_class(true, pred, metric.num_classes,
+                          iou_threshold=metric.iou_threshold)["curves"]
     if curves:
         out["pr_curves"] = plot_pr_curves(
             curves, class_names, os.path.join(out_dir, "pr_curves.png")
         )
-    cm = ConfusionMatrix(metric.num_classes, conf_threshold)
-    for img in np.unique(true[:, 0]) if len(true) else []:
-        cm.update(pred[pred[:, 0] == img], true[true[:, 0] == img])
+    cm = build_confusion_matrix(true, pred, metric.num_classes,
+                                conf_threshold)
     out["confusion_matrix"] = plot_confusion_matrix(
         cm.matrix, class_names, os.path.join(out_dir, "confusion_matrix.png")
     )

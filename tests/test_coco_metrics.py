@@ -74,6 +74,39 @@ def test_confusion_matrix():
     assert cm.matrix.sum() == 3
 
 
+def test_confusion_matrix_counts_fp_on_gtless_images():
+    """An image with detections but no GT rows must still contribute its
+    FP-vs-background column (the report iterates the id union, not GT ids)."""
+    from podtpu.metrics.plots import build_confusion_matrix
+
+    true = np.array([[0, 50, 50, 20, 20, 1.0, 0]], np.float32)
+    pred = np.array([
+        [0, 50, 50, 20, 20, 0.9, 0],   # TP on image 0
+        [1, 30, 30, 20, 20, 0.9, 1],   # FP on GT-less image 1
+    ], np.float32)
+    cm = build_confusion_matrix(true, pred, num_classes=2)
+    assert cm.matrix[0, 0] == 1
+    assert cm.matrix[1, 2] == 1  # FP vs background from image 1
+    assert cm.matrix.sum() == 2
+    # all-GT-less corner: predictions only
+    cm2 = build_confusion_matrix(np.zeros((0, 7), np.float32), pred,
+                                 num_classes=2)
+    assert cm2.matrix[:, 2].sum() == 2
+
+
+def test_coco_eval_no_warnings_with_absent_classes():
+    """Classes absent from GT must not trigger 'Mean of empty slice'."""
+    import warnings
+
+    true = np.array([[0, 50, 50, 20, 20, 1.0, 0]], np.float32)
+    pred = np.array([[0, 50, 50, 20, 20, 0.9, 0]], np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out = coco_eval(true, pred, num_classes=5)
+    assert out["AP50"] == 1.0
+    assert out["per_class"][1:].sum() == 0.0
+
+
 def test_eval_report_writes_artifacts(tmp_path):
     from podtpu.metrics import MeanAveragePrecision
     from podtpu.metrics.plots import write_eval_report
