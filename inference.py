@@ -21,13 +21,25 @@ from podtpu.utils.viz import annots_to_boxes, draw_boxes, load_names
 
 
 def inference(cfg: dict, ckpt: str | None, out_dir: str | None,
-              show: bool = False, limit: int | None = None):
+              show: bool = False, limit: int | None = None,
+              artifact: str | None = None):
     _, val_ds = build_datasets(cfg)
     loader = Loader(val_ds, batch_size=1, shuffle=False,
                     max_annots=cfg["max_annots"], workers=1)
-    trainer = Trainer(cfg, use_mesh=False, eval_only=True)
-    if ckpt:
-        trainer.state = restore_weights(ckpt, trainer.state)
+    if artifact:
+        # visual spot-check of the deployed graph itself (exported with
+        # --with-postprocess); single images tile up to the artifact batch
+        from podtpu.export.runner import artifact_runner
+
+        try:
+            run_artifact, art_batch = artifact_runner(artifact)
+        except ValueError as e:
+            raise SystemExit(str(e))
+        trainer = None
+    else:
+        trainer = Trainer(cfg, use_mesh=False, eval_only=True)
+        if ckpt:
+            trainer.state = restore_weights(ckpt, trainer.state)
     names = load_names(cfg["names"]) if cfg.get("names") and \
         os.path.exists(cfg["names"]) else [str(i) for i in range(cfg["num_classes"])]
     if out_dir:
@@ -38,10 +50,19 @@ def inference(cfg: dict, ckpt: str | None, out_dir: str | None,
         if limit is not None and idx >= limit:
             break
         batch.pop("n_valid", None)
-        dev_batch = trainer._put(batch)
-        t0 = time.perf_counter()
-        _, dets, valid = trainer.eval_step(trainer.state, dev_batch)
-        dets = np.asarray(dets[0])[np.asarray(valid[0])]
+        if artifact:
+            x = np.asarray(batch["img"])
+            if x.dtype == np.uint8:
+                x = x.astype(np.float32) / 255.0
+            x = np.tile(x, (art_batch, 1, 1, 1))
+            t0 = time.perf_counter()
+            dets, valid = run_artifact(x)
+            dets = dets[0][valid[0]]
+        else:
+            dev_batch = trainer._put(batch)
+            t0 = time.perf_counter()
+            _, dets, valid = trainer.eval_step(trainer.state, dev_batch)
+            dets = np.asarray(dets[0])[np.asarray(valid[0])]
         dt = (time.perf_counter() - t0) * 1000
         print(f"[{idx}] inference: {dt:.2f} ms, {len(dets)} boxes")
 
@@ -69,14 +90,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cfg", required=True, type=str)
     ap.add_argument("--ckpt", type=str, default=None)
+    ap.add_argument("--artifact", type=str, default=None,
+                    help="run an exported serving artifact "
+                         "(.stablehlo/.tflite from export_model.py "
+                         "--with-postprocess) instead of a checkpoint")
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--show", action="store_true")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--platform", type=str, default=None,
                     help="pin JAX backend (e.g. cpu) for local runs")
     args = ap.parse_args()
+    if args.artifact and args.ckpt:
+        ap.error("--artifact runs the exported graph as-is; --ckpt applies "
+                 "to checkpoint inference")
     setup_platform(args.platform)
-    inference(get_configs(args.cfg), args.ckpt, args.out, args.show, args.limit)
+    inference(get_configs(args.cfg), args.ckpt, args.out, args.show,
+              args.limit, artifact=args.artifact)
 
 
 if __name__ == "__main__":

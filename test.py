@@ -68,51 +68,6 @@ def evaluate(cfg: dict, ckpt: str | None, report_dir: str | None = None,
     return result
 
 
-def _artifact_runner(artifact: str):
-    """Load a serving artifact and return ``(run, batch_size)`` where
-    ``run(x) -> (dets [B,M,6], valid [B,M])``. Rejects forward-only exports
-    (those lack decode+NMS and cannot be scored directly)."""
-    import numpy as np
-
-    if artifact.endswith(".tflite"):
-        from podtpu.export.tflite import load_interpreter
-
-        interp, inp = load_interpreter(artifact)
-        outs = interp.get_output_details()
-        # tflite output order is not guaranteed: identify by rank
-        dets_d = [d for d in outs if len(d["shape"]) == 3]
-        valid_d = [d for d in outs if len(d["shape"]) == 2]
-        if len(outs) != 2 or len(dets_d) != 1 or len(valid_d) != 1:
-            raise SystemExit(
-                f"{artifact} is not a serving artifact (expected outputs "
-                "dets [B,M,6] + valid [B,M]); re-export with "
-                "--with-postprocess")
-
-        def run(x):
-            interp.set_tensor(inp["index"], np.asarray(x, np.float32))
-            interp.invoke()
-            return (interp.get_tensor(dets_d[0]["index"]),
-                    interp.get_tensor(valid_d[0]["index"]).astype(bool))
-
-        return run, int(inp["shape"][0])
-
-    from podtpu.export.stablehlo import inspect_exported, load_exported
-
-    info = inspect_exported(artifact)
-    if len(info["out_avals"]) != 2:
-        raise SystemExit(
-            f"{artifact} is not a serving artifact (outputs: "
-            f"{info['out_avals']}); re-export with --with-postprocess")
-    fn = load_exported(artifact)
-
-    def run(x):
-        dets, valid = fn(x)
-        return np.asarray(dets), np.asarray(valid).astype(bool)
-
-    batch = int(info["in_avals"][0].split("[")[1].split(",")[0])
-    return run, batch
-
-
 def evaluate_artifact(cfg: dict, artifact: str,
                       report_dir: str | None = None) -> dict:
     """Score an exported serving artifact (fwd+decode+NMS) through the full
@@ -124,9 +79,13 @@ def evaluate_artifact(cfg: dict, artifact: str,
     """
     import numpy as np
 
+    from podtpu.export.runner import artifact_runner
     from podtpu.metrics import MeanAveragePrecision
 
-    run, batch = _artifact_runner(artifact)
+    try:
+        run, batch = artifact_runner(artifact)
+    except ValueError as e:
+        raise SystemExit(str(e))
     _, val_ds = build_datasets(cfg)
     val_loader = Loader(val_ds, batch_size=batch, shuffle=False,
                         max_annots=cfg["max_annots"], workers=cfg["workers"])
