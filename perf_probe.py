@@ -20,14 +20,19 @@ import numpy as np
 from podtpu.config import setup_platform
 
 
-def timeit(fn, *args, iters=10, warmup=3):
+def timeit(fn, make_args, iters=10, warmup=3):
+    """``make_args(eps) -> args tuple``: each timed call gets a perturbed
+    input — the axon terminal memoizes identical dispatches (same program +
+    same buffers never touch the chip), so re-timing fixed args measures
+    dispatch overhead, not execution. The per-call elementwise add costs
+    well under 1% of any step measured here."""
     out = None
     for _ in range(warmup):
-        out = fn(*args)
+        out = fn(*make_args(0.0))
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
+    for k in range(1, iters + 1):
+        out = fn(*make_args(k * 1e-6))
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
@@ -60,7 +65,6 @@ def main():
         annot[:, :8, :4] = r.uniform(0.2, 0.6, (batch_size, 8, 4))
         annot[:, :8, 4] = r.integers(0, 20, (batch_size, 8))
         annot_j = jnp.asarray(annot)
-        batch = {"img": imgs, "annot": annot_j}
 
         fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
         fwd_loss = jax.jit(
@@ -71,10 +75,15 @@ def main():
         rng = jax.random.PRNGKey(0)
 
         try:
-            t_fwd = timeit(fwd, variables, imgs)
-            t_fl = timeit(fwd_loss, variables, imgs, annot_j)
-            t_train = timeit(train_step, state, batch, rng, iters=8)
-            t_eval = timeit(eval_step, state, batch)
+            t_fwd = timeit(fwd, lambda e: (variables, imgs + e))
+            t_fl = timeit(fwd_loss, lambda e: (variables, imgs + e, annot_j))
+            t_train = timeit(
+                train_step,
+                lambda e: (state, {"img": imgs + e, "annot": annot_j}, rng),
+                iters=8)
+            t_eval = timeit(
+                eval_step,
+                lambda e: (state, {"img": imgs + e, "annot": annot_j}))
         except Exception as exc:  # OOM at large batches
             print(f"B={batch_size}: {type(exc).__name__}: {str(exc)[:120]}")
             continue

@@ -144,5 +144,9 @@ def build_schedule(cfg: dict) -> Schedule:
             opts.get("eta_max", 0.1),
             opts.get("T_up", 0),
             opts.get("gamma", 1.0),
+            # precomputed-cycle budget: with T_mult=1, runs past
+            # max_cycles*T_0 steps clamp to the last cycle and stop
+            # restarting — raise this for very long runs
+            opts.get("max_cycles", 40),
         )
     raise ValueError(f"unknown scheduler '{name}'")

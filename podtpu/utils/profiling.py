@@ -37,8 +37,11 @@ class Profile(contextlib.ContextDecorator):
 
     def __exit__(self, *exc):
         if self.sync:
-            # flush pending device work so the timing is honest
-            jax.effects_barrier()
+            # block on every live device array: pure jitted computations
+            # carry no effect tokens, so jax.effects_barrier() would return
+            # while they are still running and the timing would measure
+            # dispatch, not execution
+            jax.block_until_ready(jax.live_arrays())
         self.dt = time.perf_counter() - self.start
         if self.name:
             print(f"{self.name}: {1000 * self.dt:.2f} ms")

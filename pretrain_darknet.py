@@ -141,16 +141,11 @@ def main():
 
     # save flat npz compatible with detector partial-load (shared
     # 'backbone' scope)
-    from podtpu.export.weights import SEP
+    from podtpu.export.weights import SEP, _flatten
 
     arrays = {}
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    for path, leaf in flat:
-        key = "params" + SEP + SEP.join(p.key for p in path)
-        arrays[key] = np.asarray(leaf)
-    for path, leaf in jax.tree_util.tree_flatten_with_path(batch_stats)[0]:
-        key = "batch_stats" + SEP + SEP.join(p.key for p in path)
-        arrays[key] = np.asarray(leaf)
+    arrays.update(_flatten(params, "params" + SEP))
+    arrays.update(_flatten(batch_stats, "batch_stats" + SEP))
     np.savez(args.out, **arrays)
     print(f"wrote {args.out}")
 
