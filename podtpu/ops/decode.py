@@ -11,7 +11,9 @@ yolov3_utils.py:12-59) with two TPU-first differences:
 
 Outputs are [B, H*W*A, 6] rows of ``[cx, cy, w, h, conf, class_idx]`` in
 input-pixel scale, single-label class via argmax — identical semantics to the
-reference.
+reference. The anchor-head decoders also take ``multi_label=True`` (the
+dormant Ultralytics mode): one row per (anchor, class) — [B, H*W*A*C, 6]
+with ``conf = sigmoid(obj) * sigmoid(cls_c)``.
 """
 
 from __future__ import annotations

@@ -167,6 +167,11 @@ def batched_class_aware_nms(
             lambda ob, cv: _xla_suppress(ob, cv, iou_threshold)
         )(offset_boxes, cand_valid)
     if merge:
+        # the reference truncates the keep set to max_det BEFORE merging
+        # (general.py:710-721): ranks past max_det neither merge nor backfill
+        # slots freed by the redundant-drop. Candidates are score-sorted, so
+        # the top-max_det survivors are the first max_det True keeps.
+        keep = keep & (jnp.cumsum(keep, axis=1) <= max_detections)
         cand, keep = jax.vmap(
             lambda c, cv, ob, kp: _merge_kept(c, cv, ob, kp, iou_threshold)
         )(cand, cand_valid, offset_boxes, keep)

@@ -182,11 +182,13 @@ def test_device_nms_classes_filter():
     assert sorted(kept[:, 5].tolist()) == [2.0, 3.0]
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
-def test_device_merge_nms_matches_reference_math(seed):
+@pytest.mark.parametrize("seed,max_det", [(0, 32), (1, 32), (2, 32),
+                                          (0, 4), (1, 4)])
+def test_device_merge_nms_matches_reference_math(seed, max_det):
     """merge=True must reproduce the Ultralytics merge-NMS matrix math
-    (general.py:714-721) — weights = (IoU > thr) * scores over ALL
-    candidates, weighted-mean boxes, survivors need >= 2 contributors."""
+    (general.py:710-721) — keep set truncated to max_det FIRST, then
+    weights = (IoU > thr) * scores over ALL candidates, weighted-mean
+    boxes, survivors need >= 2 contributors (no backfill past max_det)."""
     rng = np.random.default_rng(seed)
     n, k = 64, 32
     boxes = np.zeros((n, 6), np.float32)
@@ -197,7 +199,7 @@ def test_device_merge_nms_matches_reference_math(seed):
 
     out, valid = batched_class_aware_nms(
         jnp.asarray(boxes)[None], conf_threshold=0.25, iou_threshold=0.45,
-        top_k=k, max_detections=k, merge=True)
+        top_k=k, max_detections=max_det, merge=True)
     got = np.asarray(out)[0][np.asarray(valid)[0]]
 
     # numpy oracle of the same padded pipeline + reference merge math
@@ -209,6 +211,9 @@ def test_device_merge_nms_matches_reference_math(seed):
     span = max(np.abs(xyxy).max(), 8192.0) * 2.0 + 1.0
     off = xyxy + cand[:, 5:6] * span
     keep = greedy_oracle(off, cand_valid, 0.45)
+    # reference truncates i = i[:max_det] before merging (score order ==
+    # candidate order here)
+    keep &= np.cumsum(keep) <= max_det
 
     ious = np.stack([_iou_row(off[i], off) for i in range(k)])
     contrib = (ious > 0.45) & cand_valid[None, :]
