@@ -81,6 +81,29 @@ def test_tflite_postprocess_matches_serve_fn(model_and_vars, x, tmp_path):
     np.testing.assert_allclose(dets, np.asarray(want_dets), atol=1e-3)
 
 
+def test_tflite_artifact_runner_and_eval(model_and_vars, x, tmp_path):
+    """The shared artifact runner (test.py/inference.py --artifact) drives
+    .tflite serving graphs: outputs identified by rank regardless of
+    interpreter output order, forward-only artifacts rejected."""
+    from podtpu.export.runner import artifact_runner
+
+    model, variables = model_and_vars
+    path = export_tflite(model, variables, SHAPE,
+                         str(tmp_path / "srv.tflite"), cfg=CFG,
+                         with_postprocess=True)
+    run, batch = artifact_runner(path)
+    assert batch == 1
+    dets, valid = run(x)
+    want_dets, want_valid = run_tflite(path, x)
+    np.testing.assert_array_equal(valid, want_valid.astype(bool))
+    np.testing.assert_allclose(dets, want_dets, atol=1e-6)
+
+    fwd = export_tflite(model, variables, SHAPE,
+                        str(tmp_path / "fwd.tflite"), cfg=CFG)
+    with pytest.raises(ValueError, match="with-postprocess"):
+        artifact_runner(fwd)
+
+
 def test_tflite_int8_ptq_smaller_and_close(model_and_vars, x, tmp_path):
     import os
 
