@@ -26,14 +26,25 @@ def timeit(fn, make_args, iters=10, warmup=3):
     same buffers never touch the chip), so re-timing fixed args measures
     dispatch overhead, not execution. The per-call elementwise add costs
     well under 1% of any step measured here."""
+    def sync(o):
+        # force a real round trip: block_until_ready alone has been observed
+        # returning early over the remote-TPU tunnel (exported_inference.py).
+        # Fetch ONE element, not the outputs — device_get of a batch-128
+        # train state or head tensors ships ~100 MB through the tunnel and
+        # would dominate the measurement. The single-element slice can only
+        # answer after its producer finished, and the TPU core executes
+        # in-order, so it fences the whole timed chain.
+        leaf = jax.tree_util.tree_leaves(o)[0]
+        jax.device_get(jnp.ravel(leaf)[0])
+
     out = None
     for _ in range(warmup):
         out = fn(*make_args(0.0))
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     for k in range(1, iters + 1):
         out = fn(*make_args(k * 1e-6))
-    jax.block_until_ready(out)
+    sync(out)
     return (time.perf_counter() - t0) / iters
 
 
