@@ -45,14 +45,21 @@ def prune_channels(params, amount: float):
 
 def time_forward(model, variables, x, iters: int) -> float:
     fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
+
+    def sync(o):
+        # single-element device_get: block_until_ready alone returns early
+        # over the remote-TPU tunnel, and fetching the full heads would ship
+        # MBs through it (see perf_probe.py::timeit)
+        jax.device_get(jnp.ravel(jax.tree_util.tree_leaves(o)[0])[0])
+
     out = fn(variables, x)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     # perturb the input each iteration: the axon terminal memoizes identical
     # dispatches (same program + same buffers never touch the chip)
     for k in range(iters):
         out = fn(variables, x + k * 1e-6)
-    jax.block_until_ready(out)
+    sync(out)
     return (time.perf_counter() - t0) / iters
 
 
