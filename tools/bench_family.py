@@ -44,14 +44,22 @@ def bench(cfg: dict, batch: int, warmup: int = 3, iters: int = 10) -> float:
     dbatch = shard_batch({"img": imgs, "annot": annot}, mesh)
 
     train_step = make_train_step(cfg, mesh, donate=True)
+
+    def fence(m):
+        # real device round trip on ONE scalar: block_until_ready has been
+        # observed returning early over the axon tunnel (CLAUDE.md); the
+        # scalar exists only after the final chained step finished
+        jax.block_until_ready(m["loss"])
+        jax.device_get(m["loss"])
+
     for _ in range(warmup):
         state, metrics = train_step(state, dbatch, rng)
-    jax.block_until_ready(metrics["loss"])
+    fence(metrics)
 
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = train_step(state, dbatch, rng)
-    jax.block_until_ready(metrics["loss"])
+    fence(metrics)
     dt = time.perf_counter() - t0
     return batch * iters / dt / n_chips
 
