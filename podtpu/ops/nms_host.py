@@ -136,10 +136,18 @@ def non_max_suppression(prediction: np.ndarray, conf_thres: float = 0.25,
         if not len(rest):
             break
         iou = _iou_one_many(off[i], off[rest])
-        suppressed = rest[iou > iou_thres]
-        if merge and len(suppressed):
-            group = np.concatenate([[i], suppressed])
-            w = rows[group, 4:5]
-            rows[i, :4] = (rows[group, :4] * w).sum(0) / w.sum()
-        keep[suppressed] = False
-    return rows[keep][:max_det]
+        keep[rest[iou > iou_thres]] = False
+    kept = np.where(keep)[0][:max_det]
+    if merge and 1 < len(rows):
+        # the reference's merge-NMS matrix math (general.py:714-721):
+        # survivors become the score-weighted mean of EVERY candidate
+        # overlapping them above the threshold, and survivors without a
+        # second contributor are dropped (``redundant``) — identical to
+        # the device path (podtpu/ops/nms.py::_merge_kept)
+        iou_m = np.stack([_iou_one_many(off[i], off) for i in kept])
+        contrib = iou_m > iou_thres
+        w = contrib * rows[None, :, 4]
+        rows[kept, :4] = (w @ rows[:, :4]) / np.maximum(
+            w.sum(1, keepdims=True), 1e-12)
+        kept = kept[contrib.sum(1) > 1]
+    return rows[kept]

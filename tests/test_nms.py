@@ -150,10 +150,57 @@ def test_host_nms_variants():
     assert len(multi) >= 3
     merged = non_max_suppression(raw, conf_thres=0.25, iou_thres=0.45,
                                  merge=True)
-    assert len(merged) == 2
+    # reference merge-NMS drops survivors without a second contributor
+    # (general.py:720 `redundant`): the lone class-2 box goes, only the
+    # fused class-0 survivor remains
+    assert len(merged) == 1 and merged[0, 5] == 0.0
     # merged survivor coordinates are the score-weighted blend, not box 0's
-    x1 = merged[merged[:, 5] == 0.0][0, 0]
+    x1 = merged[0, 0]
     assert 30.0 < x1 < 32.1 and not np.isclose(x1, 30.0)
+
+
+def test_host_device_merge_nms_agree():
+    """The host Ultralytics variant and the device merge path implement the
+    same reference matrix math — same survivors, same fused boxes."""
+    from podtpu.ops.nms_host import non_max_suppression
+
+    rng = np.random.default_rng(7)
+    c = 3
+    # clustered duplicates (merge-NMS's use case: random sparse boxes
+    # rarely exceed IoU 0.45, and the redundant filter would drop all
+    # singletons — on both paths)
+    base = np.zeros((12, 4), np.float32)
+    base[:, 0:2] = rng.uniform(60, 140, (12, 2))
+    base[:, 2:4] = rng.uniform(30, 60, (12, 2))
+    dups = [base + rng.normal(0, 1.5, base.shape).astype(np.float32)
+            for _ in range(3)]
+    boxes4 = np.concatenate([base] + dups)
+    n = len(boxes4)
+    raw = np.zeros((n, 5 + c), np.float32)
+    raw[:, :4] = boxes4
+    raw[:, 4] = rng.uniform(0.3, 1.0, n)   # obj, all above threshold
+    raw[:, 5:] = rng.uniform(0, 1, (n, c))
+
+    host = non_max_suppression(raw, conf_thres=0.25, iou_thres=0.45,
+                               merge=True, max_det=10)
+
+    # single-label candidates with the host's conf definition (obj * cls)
+    cls_conf = raw[:, 5:] * raw[:, 4:5]
+    j = cls_conf.argmax(1)
+    cand = np.concatenate(
+        [raw[:, :4], cls_conf[np.arange(n), j, None],
+         j[:, None].astype(np.float32)], axis=1)
+    out, valid = batched_class_aware_nms(
+        jnp.asarray(cand)[None], conf_threshold=0.25, iou_threshold=0.45,
+        top_k=n, max_detections=10, merge=True)
+    dev = np.asarray(out)[0][np.asarray(valid)[0]]
+    dev_xyxy = np.concatenate(
+        [np.asarray(cxcywh_to_xyxy(jnp.asarray(dev[:, :4]))), dev[:, 4:]],
+        axis=1)
+    assert len(host) == len(dev_xyxy) > 0
+    np.testing.assert_allclose(
+        sorted(map(tuple, host.round(3))),
+        sorted(map(tuple, dev_xyxy.round(3))), atol=2e-3)
 
 
 def test_device_nms_agnostic():
