@@ -55,7 +55,7 @@ def main():
     rtts = []
     for k in range(8):
         t0 = time.perf_counter()
-        jax.block_until_ready(null(bias + k * 1e-6))
+        jax.device_get(null(bias + k * 1e-6))
         rtts.append(time.perf_counter() - t0)
     rtt = float(np.median(rtts)) * 1e3
     print(f"dispatch RTT floor {rtt:.3f} ms", flush=True)
@@ -73,7 +73,9 @@ def main():
             seed[0] += 1
             b_ = bias + seed[0] * 1e-6
             t0 = time.perf_counter()
-            jax.block_until_ready(f(b_))
+            # device_get of the scalar: a real round trip
+            # (block_until_ready can return early over the tunnel)
+            jax.device_get(f(b_))
             times.append(time.perf_counter() - t0)
         dt = float(np.median(times)) * 1e3
         print(f"{name:28s} {dt - rtt:8.3f} ms  (raw {dt:.3f})", flush=True)
