@@ -16,12 +16,7 @@ import jax.numpy as jnp
 
 from podtpu.losses.common import bce_logits, masked_ciou_loss, masked_sum, sigmoid
 from podtpu.ops.assign import encode_anchor_targets
-
-# exp() of unbounded wh logits overflows once training diverges and
-# poisons the CIoU with NaNs (the reference shares this fragility);
-# +-15 is far outside the trained regime (|wh logit| < ~3) and keeps
-# the pathological case finite so the loss can pull weights back.
-_WH_CLAMP = 15.0
+from podtpu.ops.boxes import WH_CLAMP as _WH_CLAMP
 
 
 def _split_pred(pred: jnp.ndarray, num_anchors: int, num_classes: int):
@@ -48,7 +43,10 @@ def yolov2_loss_v2(
     xy, wh, conf, cls = _split_pred(pred, num_anchors, num_classes)
 
     t = encode_anchor_targets(
-        target, num_classes, anchors, w, h, ignore_threshold
+        target, num_classes, anchors, w, h, ignore_threshold,
+        # unsmoothed reference writes: class bits accumulate on same-slot
+        # collisions (yolov2_loss.py:165,309 — no row reset)
+        cls_accumulate=True,
     )
 
     pbox = jnp.concatenate([sigmoid(xy), jnp.exp(jnp.clip(wh, -_WH_CLAMP, _WH_CLAMP))], axis=-1)
@@ -81,7 +79,10 @@ def yolov2_loss(
     xy, wh, conf, cls = _split_pred(pred, num_anchors, num_classes)
 
     t = encode_anchor_targets(
-        target, num_classes, anchors, w, h, ignore_threshold
+        target, num_classes, anchors, w, h, ignore_threshold,
+        # unsmoothed reference writes: class bits accumulate on same-slot
+        # collisions (yolov2_loss.py:165,309 — no row reset)
+        cls_accumulate=True,
     )
 
     pxy = sigmoid(xy)

@@ -28,16 +28,12 @@ from podtpu.losses.common import (
     smooth_bce,
 )
 from podtpu.ops.assign import encode_anchor_targets
-
-# exp() of unbounded wh logits overflows once training diverges and
-# poisons the CIoU with NaNs (the reference shares this fragility);
-# +-15 is far outside the trained regime (|wh logit| < ~3) and keeps
-# the pathological case finite so the loss can pull weights back.
-_WH_CLAMP = 15.0
+from podtpu.ops.boxes import WH_CLAMP as _WH_CLAMP
 
 
 def _layer_targets(target, num_classes, anchors, input_size, layer_idx, layer_w,
-                   layer_h, ignore_threshold, cls_pos=1.0, cls_neg=0.0):
+                   layer_h, ignore_threshold, cls_pos=1.0, cls_neg=0.0,
+                   cls_accumulate=False):
     anchors = jnp.asarray(anchors, dtype=jnp.float32)
     lo, hi = 3 * layer_idx, 3 * layer_idx + 3
     scaled = anchors[lo:hi] * jnp.array(
@@ -55,6 +51,7 @@ def _layer_targets(target, num_classes, anchors, input_size, layer_idx, layer_w,
         match_scale=(float(input_size), float(input_size)),
         cls_pos=cls_pos,
         cls_neg=cls_neg,
+        cls_accumulate=cls_accumulate,
     )
 
 
@@ -122,6 +119,10 @@ def yolov3_loss(
         t = _layer_targets(
             target, num_classes, anchors, input_size, layer_idx, w, h,
             ignore_threshold,
+            # unsmoothed reference writes: class bits accumulate on
+            # same-slot collisions (yolov3_loss.py:190 — no row reset;
+            # the v2/v3 variants reset the row: 359-360, 535-536)
+            cls_accumulate=True,
         )
 
         pxy = sigmoid(xy)

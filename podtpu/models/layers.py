@@ -60,7 +60,12 @@ class BatchNormMixed(nn.Module):
         if train:
             x32 = x.astype(jnp.float32)
             mean = jnp.mean(x32, axis=(0, 1, 2))
-            var = jnp.mean(jnp.square(x32), axis=(0, 1, 2)) - jnp.square(mean)
+            # clamp: E[x^2] - E[x]^2 can cancel negative in f32 for
+            # large-mean/tiny-variance channels, and rsqrt(var + eps) would
+            # go NaN — the guard stock flax applies (flax _compute_stats)
+            var = jnp.maximum(
+                0.0, jnp.mean(jnp.square(x32), axis=(0, 1, 2))
+                - jnp.square(mean))
             # [C]-sized; saving them under PODTPU_REMAT avoids re-reducing
             # the full conv output when the backward recomputes BN-apply.
             mean = checkpoint_name(mean, "bn_stats")

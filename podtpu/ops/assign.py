@@ -86,6 +86,7 @@ def encode_anchor_targets(
     match_scale: tuple[float, float] | None = None,
     cls_pos: float = 1.0,
     cls_neg: float = 0.0,
+    cls_accumulate: bool = False,
     backend: str | None = None,
 ) -> AnchorTargets:
     """Encode GT boxes onto one anchor grid.
@@ -109,6 +110,12 @@ def encode_anchor_targets(
         pixel matching. Defaults to (layer_w, layer_h).
       cls_pos, cls_neg: class target values (label smoothing for YoloV3LossV2
         uses smooth_BCE(0.01): yolov3_loss.py:227,359-360).
+      cls_accumulate: the reference's UNSMOOTHED encoders write only
+        ``tcls[..., cid] = 1`` with no row reset (yolov2_loss.py:165,309,
+        yolov3_loss.py:190 — the reset lines are commented out), so two GTs
+        colliding on one (cell, anchor) slot leave BOTH class bits set.
+        True reproduces that (requires cls_pos=1/cls_neg=0); False is the
+        smoothed writers' full-row overwrite (yolov3_loss.py:359-360).
       backend: "scan" (sequential writes) or "dense" (winner-index
         max-reduce + one-hot matmuls). ``None`` reads ``PODTPU_ENCODER``
         (default "scan"). Both are bit-identical.
@@ -168,10 +175,15 @@ def encode_anchor_targets(
         jax.nn.one_hot(cid, num_classes, dtype=bool), cls_pos, tcls_gt
     )
 
+    if cls_accumulate and not (cls_pos == 1.0 and cls_neg == 0.0):
+        raise ValueError("cls_accumulate models the reference's unsmoothed "
+                         "bit-set writes; it requires cls_pos=1, cls_neg=0")
+
     if (backend or _default_backend()) == "dense":
         return _dense_anchor_writes(
             valid, gj, gi, best, iou_local, tbox_gt, tcls_gt,
             layer_h, layer_w, num_anchors, num_classes, ignore_threshold,
+            cls_accumulate,
         )
 
     # --- sequential grid writes (preserves the reference's overwrite order) -
@@ -196,13 +208,23 @@ def encode_anchor_targets(
             new = jnp.where(_bcast(v, val), val, old)
             return arr.at[bidx, gj_t, gi_t, best_t].set(new)
 
+        if cls_accumulate:
+            # unsmoothed reference write: set the class bit, keep the rest
+            # of the row (same-slot collisions accumulate both classes)
+            old_row = state.tcls[bidx, gj_t, gi_t, best_t]
+            new_row = jnp.where(_bcast(v, tcls_t),
+                                jnp.maximum(old_row, tcls_t), old_row)
+            tcls = state.tcls.at[bidx, gj_t, gi_t, best_t].set(new_row)
+        else:
+            tcls = put(state.tcls, tcls_t)
+
         return (
             AnchorTargets(
                 mask=put(state.mask, jnp.ones((b,), jnp.float32)),
                 noobj_mask=noobj,
                 tbox=put(state.tbox, tbox_t),
                 tconf=put(state.tconf, jnp.ones((b,), jnp.float32)),
-                tcls=put(state.tcls, tcls_t),
+                tcls=tcls,
             ),
             None,
         )
@@ -226,7 +248,7 @@ def _bcast(v: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
 def _dense_anchor_writes(
     valid, gj, gi, best, iou_local, tbox_gt, tcls_gt,
     layer_h: int, layer_w: int, num_anchors: int, num_classes: int,
-    ignore_threshold: float,
+    ignore_threshold: float, cls_accumulate: bool = False,
 ) -> AnchorTargets:
     """Order-free re-expression of the scan's grid writes.
 
@@ -265,13 +287,21 @@ def _dense_anchor_writes(
     hit = jnp.einsum("bth,bta->bha", cellhot, ioum)        # [B, HW, A]
     noobj = (hit == 0.0).astype(jnp.float32)
 
+    tcls_flat = vals[..., 4:]
+    if cls_accumulate:
+        # unsmoothed reference writes accumulate class bits across every
+        # valid GT hitting the slot: OR over T == one-hot matmul, clipped
+        wrote = (eq & (order[:, :, None] > 0)).astype(jnp.float32)  # [B,T,S]
+        tcls_flat = jnp.minimum(
+            jnp.einsum("bts,btc->bsc", wrote, tcls_gt), 1.0)
+
     grid = (b, layer_h, layer_w, num_anchors)
     return AnchorTargets(
         mask=mask_flat.reshape(grid),
         noobj_mask=noobj.reshape(grid),
         tbox=vals[..., :4].reshape(grid + (4,)),
         tconf=mask_flat.reshape(grid),
-        tcls=vals[..., 4:].reshape(grid + (num_classes,)),
+        tcls=tcls_flat.reshape(grid + (num_classes,)),
     )
 
 

@@ -17,6 +17,14 @@ import jax.numpy as jnp
 
 _EPS = 1e-6
 
+# exp() of unbounded wh logits overflows once training diverges and poisons
+# downstream IoUs/CIoU with NaNs (the reference shares this fragility);
+# +-15 is far outside the trained regime (|wh logit| < ~3) and keeps the
+# pathological case finite. One definition shared by the losses
+# (train-time pbox) and ops/decode.py (serving-time boxes) so the two
+# can't drift.
+WH_CLAMP = 15.0
+
 
 def cxcywh_to_xyxy(boxes: jnp.ndarray) -> jnp.ndarray:
     """[..., 4] center-format boxes -> corner format."""

@@ -21,6 +21,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from podtpu.ops.boxes import WH_CLAMP
+
 
 def _grid_xy(layer_h: int, layer_w: int, dtype=jnp.float32) -> jnp.ndarray:
     """[H, W, 2] grid of (x, y) cell indices."""
@@ -68,7 +70,7 @@ def decode_anchor_head(
     pxy = jax.nn.sigmoid(pred[..., 0:2]) + grid
     # clamp keeps half-trained checkpoints from emitting inf boxes that
     # poison NMS IoUs (no effect in the trained regime, |wh logit| < ~3)
-    pwh = jnp.exp(jnp.clip(pred[..., 2:4], -15.0, 15.0)) * anchors_grid[None, None, :, :]
+    pwh = jnp.exp(jnp.clip(pred[..., 2:4], -WH_CLAMP, WH_CLAMP)) * anchors_grid[None, None, :, :]
     pbox = jnp.concatenate([pxy, pwh], axis=-1) * jnp.array(
         [stride_w, stride_h, stride_w, stride_h], dtype=jnp.float32
     )

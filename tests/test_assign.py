@@ -43,13 +43,15 @@ def oracle_v2(target, num_classes, scaled_anchors, layer_w, layer_h, thr=0.5):
             tbox[bi, gj, gi, best] = [gx - gi, gy - gj,
                                       gw / anchors[best, 0], gh / anchors[best, 1]]
             tconf[bi, gj, gi, best] = 1
-            tcls[bi, gj, gi, best] = 0
+            # reference v2 encoders set ONLY the class bit — no row reset
+            # (yolov2_loss.py:165,309): same-slot collisions accumulate
             tcls[bi, gj, gi, best, int(target[bi, ti, 4])] = 1
     return mask, noobj, tbox, tconf, tcls
 
 
 def oracle_v3_layer(target, num_classes, anchors, input_size, layer_idx,
-                    layer_w, layer_h, thr=0.5, cls_pos=1.0, cls_neg=0.0):
+                    layer_w, layer_h, thr=0.5, cls_pos=1.0, cls_neg=0.0,
+                    cls_accumulate=False):
     anchors = np.asarray(anchors, np.float32)
     scaled = anchors[3 * layer_idx:3 * layer_idx + 3] * np.array(
         [layer_w / input_size, layer_h / input_size], np.float32
@@ -82,7 +84,8 @@ def oracle_v3_layer(target, num_classes, anchors, input_size, layer_idx,
             tbox[bi, gj, gi, best] = [gx - gi, gy - gj,
                                       gw / scaled[best, 0], gh / scaled[best, 1]]
             tconf[bi, gj, gi, best] = 1
-            tcls[bi, gj, gi, best] = cls_neg
+            if not cls_accumulate:  # smoothed writers reset the row
+                tcls[bi, gj, gi, best] = cls_neg
             tcls[bi, gj, gi, best, int(target[bi, ti, 4])] = cls_pos
     return mask, noobj, tbox, tconf, tcls
 
@@ -91,7 +94,7 @@ def oracle_v3_layer(target, num_classes, anchors, input_size, layer_idx,
 def test_v2_assignment_matches_oracle(backend):
     target = make_targets(6, 12, C, seed=3)
     got = encode_anchor_targets(target, C, VOC_SCALED_ANCHORS, 13, 13, 0.5,
-                                backend=backend)
+                                cls_accumulate=True, backend=backend)
     want = oracle_v2(target, C, VOC_SCALED_ANCHORS, 13, 13)
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), w, atol=1e-5)
@@ -99,21 +102,28 @@ def test_v2_assignment_matches_oracle(backend):
 
 @pytest.mark.parametrize("backend", ["scan", "dense"])
 def test_v2_overwrite_semantics(backend):
-    # Two GTs in the same cell matching the same anchor: the later must win.
+    # Two GTs in the same cell matching the same anchor: the later wins the
+    # box/mask slot, but the class bits ACCUMULATE (yolov2_loss.py:309 sets
+    # only tcls[..., cid] = 1 — no row reset).
     target = -np.ones((1, 4, 5), np.float32)
     target[0, 0] = [0.5, 0.5, 0.30, 0.30, 2]
     target[0, 1] = [0.52, 0.52, 0.32, 0.32, 7]
     got = encode_anchor_targets(target, C, VOC_SCALED_ANCHORS, 13, 13, 0.5,
-                                backend=backend)
+                                cls_accumulate=True, backend=backend)
     want = oracle_v2(target, C, VOC_SCALED_ANCHORS, 13, 13)
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), w, atol=1e-5)
-    # and the surviving class is GT #1's
-    assert np.asarray(got.tcls)[0, 6, 6].max(axis=0)[7] == 1.0
+    # both classes supervised at the collided slot; box is GT #1's
+    row = np.asarray(got.tcls)[0, 6, 6].max(axis=0)
+    assert row[2] == 1.0 and row[7] == 1.0
+    assert np.asarray(got.tbox)[0, 6, 6].sum(axis=0)[2] == pytest.approx(
+        0.32 * 13 / VOC_SCALED_ANCHORS[np.asarray(
+            got.mask)[0, 6, 6].argmax()][0], rel=1e-4)
 
 
 @pytest.mark.parametrize("backend", ["scan", "dense"])
-def test_v3_assignment_matches_oracle_all_layers(backend):
+@pytest.mark.parametrize("accumulate", [True, False])
+def test_v3_assignment_matches_oracle_all_layers(backend, accumulate):
     target = make_targets(5, 10, C, seed=4)
     for layer_idx, hw in enumerate((52, 26, 13)):
         got = encode_anchor_targets(
@@ -123,9 +133,11 @@ def test_v3_assignment_matches_oracle_all_layers(backend):
             hw, hw, 0.5,
             match_anchors=VOC_ANCHORS,
             layer_anchor_slice=(3 * layer_idx, 3 * layer_idx + 3),
-            match_scale=(416.0, 416.0), backend=backend,
+            match_scale=(416.0, 416.0), cls_accumulate=accumulate,
+            backend=backend,
         )
-        want = oracle_v3_layer(target, C, VOC_ANCHORS, 416, layer_idx, hw, hw)
+        want = oracle_v3_layer(target, C, VOC_ANCHORS, 416, layer_idx, hw, hw,
+                               cls_accumulate=accumulate)
         for g, w in zip(got, want):
             np.testing.assert_allclose(np.asarray(g), w, atol=1e-5)
 

@@ -61,6 +61,22 @@ def test_yolov1_shape_448():
     assert out.shape == (1, 7 * 7 * 30)
 
 
+def test_batchnorm_mixed_var_clamp():
+    """E[x^2]-E[x]^2 cancels negative in f32 for large-mean near-constant
+    channels; without the stock-flax clamp rsqrt(var+eps) goes NaN."""
+    from podtpu.models.layers import BatchNormMixed
+
+    bn = BatchNormMixed(dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(100.0 + 1e-4 * rng.normal(size=(8, 4, 4, 16)),
+                    jnp.float32)
+    variables = bn.init(jax.random.PRNGKey(0), x, train=True)
+    y, updates = bn.apply(variables, x, train=True,
+                          mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(y)).all()
+    assert (np.asarray(updates["batch_stats"]["var"]) >= 0).all()
+
+
 def test_passthrough_reorg_matches_torch_view():
     """The v2 reorg must equal torch's NCHW .view(bs,-1,h/2,w/2)."""
     rng = np.random.default_rng(0)

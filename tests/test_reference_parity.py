@@ -254,3 +254,49 @@ def test_live_loss_parity_yolov3(variant):
     got = float(fn([jnp.asarray(nchw_to_nhwc(p)) for p in preds],
                    jnp.asarray(tgt), C, VOC_ANCHORS, 416))
     assert got == pytest.approx(want, rel=1e-4)
+
+
+def _colliding_targets() -> np.ndarray:
+    """Two GTs of different classes sharing one (cell, best-anchor) slot —
+    the case where the reference's unsmoothed encoders ACCUMULATE class
+    bits (no tcls row reset) instead of overwriting."""
+    tgt = -np.ones((B, T, 5), np.float32)
+    tgt[0, 0] = [0.50, 0.50, 0.30, 0.30, 3]
+    tgt[0, 1] = [0.52, 0.51, 0.30, 0.30, 7]
+    tgt[1, 0] = [0.25, 0.25, 0.60, 0.60, 1]
+    tgt[1, 1] = [0.26, 0.24, 0.61, 0.59, 5]
+    return tgt
+
+
+@pytest.mark.parametrize("variant", ["YoloV2Loss", "YoloV2LossV2"])
+def test_live_loss_parity_yolov2_slot_collision(variant):
+    from podtpu.losses import yolov2_loss, yolov2_loss_v2
+
+    mod = import_reference("models.loss.yolov2_loss")
+    pred = normal((B, 5 * (5 + C), 13, 13), 101)
+    tgt = _colliding_targets()
+    with torch.no_grad():
+        want = float(getattr(mod, variant)(C, VOC_SCALED_ANCHORS)(
+            torch.from_numpy(pred), torch.from_numpy(tgt)))
+    fn = yolov2_loss if variant == "YoloV2Loss" else yolov2_loss_v2
+    got = float(fn(jnp.asarray(nchw_to_nhwc(pred)), jnp.asarray(tgt), C,
+                   VOC_SCALED_ANCHORS))
+    assert got == pytest.approx(want, rel=1e-4)
+
+
+@pytest.mark.parametrize("variant", ["YoloV3Loss", "YoloV3LossV2",
+                                     "YoloV3LossV3"])
+def test_live_loss_parity_yolov3_slot_collision(variant):
+    from podtpu.losses import yolov3_loss, yolov3_loss_v2, yolov3_loss_v3
+
+    mod = import_reference("models.loss.yolov3_loss")
+    preds = [normal((B, 3 * (5 + C), hw, hw), 400 + hw) for hw in (52, 26, 13)]
+    tgt = _colliding_targets()
+    with torch.no_grad():
+        want = float(getattr(mod, variant)(C, VOC_ANCHORS, 416)(
+            [torch.from_numpy(p) for p in preds], torch.from_numpy(tgt)))
+    fn = {"YoloV3Loss": yolov3_loss, "YoloV3LossV2": yolov3_loss_v2,
+          "YoloV3LossV3": yolov3_loss_v3}[variant]
+    got = float(fn([jnp.asarray(nchw_to_nhwc(p)) for p in preds],
+                   jnp.asarray(tgt), C, VOC_ANCHORS, 416))
+    assert got == pytest.approx(want, rel=1e-4)
