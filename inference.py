@@ -29,7 +29,7 @@ def inference(cfg: dict, ckpt: str | None, out_dir: str | None,
     if artifact:
         # visual spot-check of the deployed graph itself (exported with
         # --with-postprocess); single images tile up to the artifact batch
-        from podtpu.export.runner import artifact_runner
+        from podtpu.export.runner import artifact_runner, prepare_input
 
         try:
             run_artifact, art_batch = artifact_runner(artifact)
@@ -51,10 +51,7 @@ def inference(cfg: dict, ckpt: str | None, out_dir: str | None,
             break
         batch.pop("n_valid", None)
         if artifact:
-            x = np.asarray(batch["img"])
-            if x.dtype == np.uint8:
-                x = x.astype(np.float32) / 255.0
-            x = np.tile(x, (art_batch, 1, 1, 1))
+            x = np.tile(prepare_input(batch["img"]), (art_batch, 1, 1, 1))
             t0 = time.perf_counter()
             dets, valid = run_artifact(x)
             dets = dets[0][valid[0]]
@@ -64,7 +61,11 @@ def inference(cfg: dict, ckpt: str | None, out_dir: str | None,
             _, dets, valid = trainer.eval_step(trainer.state, dev_batch)
             dets = np.asarray(dets[0])[np.asarray(valid[0])]
         dt = (time.perf_counter() - t0) * 1000
-        print(f"[{idx}] inference: {dt:.2f} ms, {len(dets)} boxes")
+        # an artifact exported at batch B executes B tiled copies: label the
+        # time as the batch's, not a single image's
+        unit = (f"ms/batch-{art_batch}" if artifact and art_batch > 1
+                else "ms")
+        print(f"[{idx}] inference: {dt:.2f} {unit}, {len(dets)} boxes")
 
         raw = batch["img"][0]
         img = (raw if raw.dtype == np.uint8 else

@@ -42,18 +42,34 @@ def artifact_runner(artifact: str):
 
         return run, int(inp["shape"][0])
 
-    from podtpu.export.stablehlo import inspect_exported, load_exported
+    # deserialize ONCE and read avals directly — inspect_exported would
+    # pretty-print the entire MLIR module (frozen weights inlined as dense
+    # constants: hundreds of MB of text for a real checkpoint) just to
+    # regex an op histogram this path never uses
+    import jax
+    from jax import export as jexport
 
-    info = inspect_exported(artifact)
-    if len(info["out_avals"]) != 2:
+    with open(artifact, "rb") as f:
+        exported = jexport.deserialize(f.read())
+    if len(exported.out_avals) != 2:
         raise ValueError(
             f"{artifact} is not a serving artifact (outputs: "
-            f"{info['out_avals']}); re-export with --with-postprocess")
-    fn = load_exported(artifact)
+            f"{[str(a) for a in exported.out_avals]}); re-export with "
+            "--with-postprocess")
+    fn = jax.jit(exported.call)
 
     def run(x):
         dets, valid = fn(x)
         return np.asarray(dets), np.asarray(valid).astype(bool)
 
-    batch = int(info["in_avals"][0].split("[")[1].split(",")[0])
-    return run, batch
+    return run, int(exported.in_avals[0].shape[0])
+
+
+def prepare_input(x: np.ndarray) -> np.ndarray:
+    """The artifact input contract: float32 in [0, 1] (exports trace a
+    float input spec; loaders may ship uint8 batches). One definition for
+    every artifact consumer."""
+    x = np.asarray(x)
+    if x.dtype == np.uint8:
+        return x.astype(np.float32) / 255.0
+    return x

@@ -122,10 +122,13 @@ def non_max_suppression(prediction: np.ndarray, conf_thres: float = 0.25,
     if not len(rows):
         return np.zeros((0, 6), np.float32)
 
-    # class-offset batched NMS, score-descending greedy (IoU metric)
+    # class-offset batched NMS, score-descending greedy (IoU metric).
+    # Stride from max |coord| like the device path: a plain max would let
+    # boxes with negative coordinates (edge detections) bleed into the
+    # neighboring class's offset region.
     order = np.argsort(-rows[:, 4])
     rows = rows[order]
-    span = rows[:, :4].max() + 1.0
+    span = np.abs(rows[:, :4]).max() * 2.0 + 1.0
     off = rows[:, :4] + rows[:, 5:6] * span
     keep = np.ones(len(rows), bool)
     for i in range(len(rows)):

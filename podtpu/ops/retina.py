@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from podtpu.losses.common import bce_logits
+from podtpu.ops.boxes import WH_CLAMP
 
 OCTAVES = (0.0, 1.0 / 3.0, 2.0 / 3.0)
 RATIOS = (0.5, 1.0, 2.0)
@@ -173,5 +174,6 @@ def decode_retinanet(outputs, num_classes: int, input_size: int,
     cls = jnp.argmax(probs, axis=-1, keepdims=True).astype(jnp.float32)
 
     cxy = anchors[None, :, 0:2] + box_p[..., 0:2] * anchors[None, :, 2:4]
-    wh = jnp.exp(jnp.clip(box_p[..., 2:4], -15.0, 15.0)) * anchors[None, :, 2:4]
+    wh = (jnp.exp(jnp.clip(box_p[..., 2:4], -WH_CLAMP, WH_CLAMP))
+          * anchors[None, :, 2:4])
     return jnp.concatenate([cxy, wh, conf, cls], axis=-1)

@@ -26,6 +26,9 @@ import numpy as np
 class Profile(contextlib.ContextDecorator):
     """with Profile('fwd') as p: ...  ->  p.dt seconds (device-synced)."""
 
+    _fence_seq = 0  # distinct operand per fence: the axon terminal
+    # memoizes identical dispatches
+
     def __init__(self, name: str = "", sync: bool = True):
         self.name = name
         self.sync = sync
@@ -42,6 +45,14 @@ class Profile(contextlib.ContextDecorator):
             # while they are still running and the timing would measure
             # dispatch, not execution
             jax.block_until_ready(jax.live_arrays())
+            # then a real round trip: block_until_ready can return early
+            # over the axon tunnel (CLAUDE.md). A fresh tiny computation
+            # executes after all previously enqueued work (in-order TPU
+            # stream), so fetching its scalar fences the region.
+            Profile._fence_seq += 1
+            import jax.numpy as jnp
+
+            jax.device_get(jnp.float32(Profile._fence_seq) + 1.0)
         self.dt = time.perf_counter() - self.start
         if self.name:
             print(f"{self.name}: {1000 * self.dt:.2f} ms")

@@ -77,9 +77,7 @@ def evaluate_artifact(cfg: dict, artifact: str,
     is the one-command equivalent: artifact val_mAP should match the
     checkpoint's ``test.py --ckpt`` number.
     """
-    import numpy as np
-
-    from podtpu.export.runner import artifact_runner
+    from podtpu.export.runner import artifact_runner, prepare_input
     from podtpu.metrics import MeanAveragePrecision
 
     try:
@@ -92,10 +90,7 @@ def evaluate_artifact(cfg: dict, artifact: str,
     metric = MeanAveragePrecision(cfg["num_classes"], cfg["input_size"])
     for b in val_loader:
         n_valid = b.pop("n_valid", b["img"].shape[0])
-        x = np.asarray(b["img"])
-        if x.dtype == np.uint8:
-            x = x.astype(np.float32) / 255.0
-        dets, valid = run(x)
+        dets, valid = run(prepare_input(b["img"]))
         metric.update_state(b["annot"][:n_valid], dets[:n_valid],
                             valid[:n_valid])
     val_map = metric.result()
