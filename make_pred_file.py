@@ -18,22 +18,39 @@ from podtpu.train.trainer import Trainer, restore_weights
 from podtpu.utils.viz import load_names
 
 
-def make_pred_files(cfg: dict, ckpt: str | None, out_dir: str):
+def make_pred_files(cfg: dict, ckpt: str | None, out_dir: str,
+                    artifact: str | None = None):
     _, val_ds = build_datasets(cfg)
     loader = Loader(val_ds, batch_size=1, shuffle=False,
                     max_annots=cfg["max_annots"], workers=1)
-    trainer = Trainer(cfg, use_mesh=False, eval_only=True)
-    if ckpt:
-        trainer.state = restore_weights(ckpt, trainer.state)
+    if artifact:
+        # score the deployed graph itself (the reference's onnx flow:
+        # onnx_inference -> make_pred_file -> external mAP calculator)
+        from podtpu.export.runner import artifact_runner, prepare_input
+
+        try:
+            run_artifact, art_batch = artifact_runner(artifact)
+        except ValueError as e:
+            raise SystemExit(str(e))
+        trainer = None
+    else:
+        trainer = Trainer(cfg, use_mesh=False, eval_only=True)
+        if ckpt:
+            trainer.state = restore_weights(ckpt, trainer.state)
     names = load_names(cfg["names"]) if cfg.get("names") and \
         os.path.exists(cfg["names"]) else [str(i) for i in range(cfg["num_classes"])]
     os.makedirs(out_dir, exist_ok=True)
 
     for idx, batch in enumerate(loader):
         batch.pop("n_valid", None)
-        dev_batch = trainer._put(batch)
-        _, dets, valid = trainer.eval_step(trainer.state, dev_batch)
-        dets = np.asarray(dets[0])[np.asarray(valid[0])]
+        if artifact:
+            x = np.tile(prepare_input(batch["img"]), (art_batch, 1, 1, 1))
+            dets, valid = run_artifact(x)
+            dets = dets[0][valid[0]]
+        else:
+            dev_batch = trainer._put(batch)
+            _, dets, valid = trainer.eval_step(trainer.state, dev_batch)
+            dets = np.asarray(dets[0])[np.asarray(valid[0])]
         img_path = val_ds.imgs[idx]
         stem = os.path.splitext(os.path.basename(img_path))[0]
         lines = []
@@ -51,12 +68,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cfg", required=True, type=str)
     ap.add_argument("--ckpt", type=str, default=None)
+    ap.add_argument("--artifact", type=str, default=None,
+                    help="emit predictions from an exported serving "
+                         "artifact (.stablehlo/.tflite from export_model.py "
+                         "--with-postprocess) instead of a checkpoint")
     ap.add_argument("--out", type=str, required=True)
     ap.add_argument("--platform", type=str, default=None,
                     help="pin JAX backend (e.g. cpu) for local runs")
     args = ap.parse_args()
+    if args.artifact and args.ckpt:
+        ap.error("--artifact runs the exported graph as-is; --ckpt applies "
+                 "to checkpoint predictions")
     setup_platform(args.platform)
-    make_pred_files(get_configs(args.cfg), args.ckpt, args.out)
+    make_pred_files(get_configs(args.cfg), args.ckpt, args.out,
+                    artifact=args.artifact)
 
 
 if __name__ == "__main__":
