@@ -74,6 +74,45 @@ def test_confusion_matrix():
     assert cm.matrix.sum() == 3
 
 
+def test_voc_and_coco_matchers_agree_at_iou50():
+    """The reference's de-facto integration test is agreement between
+    independent mAP implementations on the same detections (README: 51.56
+    built-in vs 51.82 Cartucho). Guard our two matchers the same way:
+    realistic detections (jittered GT + noise FPs) must score within 1.5pt
+    at IoU .5, and perfect detections score 1.0 on both."""
+    from podtpu.metrics.map import mean_average_precision
+
+    rng = np.random.default_rng(3)
+    n_img, n_cls = 40, 4
+    true_rows, pred_rows = [], []
+    for img in range(n_img):
+        for _ in range(rng.integers(1, 4)):
+            cx, cy = rng.uniform(60, 200, 2)
+            w, h = rng.uniform(30, 80, 2)
+            c = rng.integers(0, n_cls)
+            true_rows.append([img, cx, cy, w, h, 1.0, c])
+            if rng.random() < 0.85:  # mostly-found GT, jittered
+                pred_rows.append([img, cx + rng.normal(0, 3),
+                                  cy + rng.normal(0, 3), w * rng.uniform(0.9, 1.1),
+                                  h * rng.uniform(0.9, 1.1),
+                                  rng.uniform(0.5, 1.0), c])
+        if rng.random() < 0.4:  # noise FP
+            pred_rows.append([img, *rng.uniform(40, 220, 2),
+                              *rng.uniform(20, 60, 2), rng.uniform(0.1, 0.6),
+                              rng.integers(0, n_cls)])
+    true = np.asarray(true_rows, np.float32)
+    pred = np.asarray(pred_rows, np.float32)
+    voc = mean_average_precision(true, pred, n_cls, 0.5)
+    coco = coco_eval(true, pred, n_cls)
+    assert abs(voc - coco["AP50"]) < 0.015
+    assert 0.5 < voc < 1.0  # non-degenerate scenario
+
+    perfect = true.copy()
+    perfect[:, 5] = 0.9
+    assert mean_average_precision(true, perfect, n_cls, 0.5) == pytest.approx(1.0)
+    assert coco_eval(true, perfect, n_cls)["AP50"] == pytest.approx(1.0)
+
+
 def test_confusion_matrix_counts_fp_on_gtless_images():
     """An image with detections but no GT rows must still contribute its
     FP-vs-background column (the report iterates the id union, not GT ids)."""
