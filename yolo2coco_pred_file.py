@@ -39,15 +39,26 @@ def coco_record(image_id, det, sx: float, sy: float) -> dict:
     }
 
 
-def run(cfg: dict, ckpt: str | None, ann_json: str, out_json: str):
+def run(cfg: dict, ckpt: str | None, ann_json: str, out_json: str,
+        artifact: str | None = None):
     with open(ann_json, "r") as f:
         coco = json.load(f)
     images = coco["images"]
     img_dir = os.path.dirname(ann_json)
 
-    trainer = Trainer(cfg, use_mesh=False, eval_only=True)
-    if ckpt:
-        trainer.state = restore_weights(ckpt, trainer.state)
+    if artifact:
+        # score the deployed graph itself (exported --with-postprocess)
+        from podtpu.export.runner import artifact_runner
+
+        try:
+            run_artifact, art_batch = artifact_runner(artifact)
+        except ValueError as e:
+            raise SystemExit(str(e))
+        trainer = None
+    else:
+        trainer = Trainer(cfg, use_mesh=False, eval_only=True)
+        if ckpt:
+            trainer.state = restore_weights(ckpt, trainer.state)
     size = cfg["input_size"]
 
     results = []
@@ -59,12 +70,18 @@ def run(cfg: dict, ckpt: str | None, ann_json: str, out_json: str):
         h0, w0 = img.shape[:2]
         inp = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
         inp = cv2.cvtColor(inp, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
-        batch = {
-            "img": inp[None],
-            "annot": -np.ones((1, cfg["max_annots"], 5), np.float32),
-        }
-        _, dets, valid = trainer.eval_step(trainer.state, trainer._put(batch))
-        dets = np.asarray(dets[0])[np.asarray(valid[0])]
+        if artifact:
+            dets, valid = run_artifact(np.tile(inp[None],
+                                               (art_batch, 1, 1, 1)))
+            dets = dets[0][valid[0]]
+        else:
+            batch = {
+                "img": inp[None],
+                "annot": -np.ones((1, cfg["max_annots"], 5), np.float32),
+            }
+            _, dets, valid = trainer.eval_step(trainer.state,
+                                               trainer._put(batch))
+            dets = np.asarray(dets[0])[np.asarray(valid[0])]
         sx, sy = w0 / size, h0 / size
         for det in dets:
             results.append(coco_record(info["id"], det, sx, sy))
@@ -113,14 +130,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cfg", required=True, type=str)
     ap.add_argument("--ckpt", type=str, default=None)
+    ap.add_argument("--artifact", type=str, default=None,
+                    help="emit COCO results from an exported serving "
+                         "artifact (.stablehlo/.tflite from export_model.py "
+                         "--with-postprocess) instead of a checkpoint")
     ap.add_argument("--json", required=True, type=str,
                     help="COCO annotation json")
     ap.add_argument("--out", type=str, default="results.json")
     ap.add_argument("--platform", type=str, default=None,
                     help="pin JAX backend (e.g. cpu) for local runs")
     args = ap.parse_args()
+    if args.artifact and args.ckpt:
+        ap.error("--artifact runs the exported graph as-is; --ckpt applies "
+                 "to checkpoint predictions")
     setup_platform(args.platform)
-    run(get_configs(args.cfg), args.ckpt, args.json, args.out)
+    run(get_configs(args.cfg), args.ckpt, args.json, args.out,
+        artifact=args.artifact)
 
 
 if __name__ == "__main__":
