@@ -19,7 +19,6 @@ from podtpu.config import setup_platform
 import jax
 import numpy as np
 
-from podtpu.export.stablehlo import inspect_exported, load_exported
 
 
 def bench_tflite(path: str, iters: int) -> None:
@@ -53,13 +52,17 @@ def main():
         bench_tflite(args.model, args.iters)
         return
 
-    info = inspect_exported(args.model)
-    shape_str = info["in_avals"][0]
-    print(f"input: {shape_str}")
-    fn = load_exported(args.model)
+    # deserialize ONCE and read avals directly: inspect_exported renders the
+    # whole MLIR module (frozen weights as dense constants) just to regex an
+    # op histogram this path never uses
+    from jax import export as jexport
 
-    # parse "float32[1,416,416,3]"-style aval
-    dims = [int(d) for d in shape_str.split("[")[1].rstrip("]").split(",")]
+    with open(args.model, "rb") as f:
+        exported = jexport.deserialize(f.read())
+    aval = exported.in_avals[0]
+    print(f"input: {aval.dtype}{list(aval.shape)}")
+    fn = jax.jit(exported.call)
+    dims = [int(d) for d in aval.shape]
     x = np.random.default_rng(0).uniform(0, 1, dims).astype(np.float32)
     # measure device compute, not host->device transfer (which dominates
     # over the remote-TPU tunnel): ship the batch once
