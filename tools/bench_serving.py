@@ -27,13 +27,13 @@ sys.path.insert(0, REPO)
 def _bench(path: str, iters: int) -> dict:
     import jax
     import numpy as np
+    from jax import export as jexport
 
-    from podtpu.export.stablehlo import inspect_exported, load_exported
-
-    info = inspect_exported(path)
-    dims = [int(d) for d in
-            info["in_avals"][0].split("[")[1].rstrip("]").split(",")]
-    fn = load_exported(path)
+    # deserialize once; inspect_exported would render the whole MLIR module
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+    dims = [int(d) for d in exported.in_avals[0].shape]
+    fn = jax.jit(exported.call)
     x = jax.device_put(
         np.random.default_rng(0).uniform(0, 1, dims).astype(np.float32))
     out = fn(x)
