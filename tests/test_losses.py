@@ -100,6 +100,7 @@ def test_losses_finite_gradients(v3_inputs):
         assert bool(jnp.all(jnp.isfinite(g)))
 
 
+@pytest.mark.slow  # full train-step jit compile
 def test_empty_batch_no_nan():
     """A batch with zero valid annotations must produce a finite loss."""
     tgt = jnp.full((B, T, 5), -1.0)

@@ -159,6 +159,7 @@ def test_host_nms_variants():
     assert 30.0 < x1 < 32.1 and not np.isclose(x1, 30.0)
 
 
+@pytest.mark.slow
 def test_host_device_merge_nms_agree():
     """The host Ultralytics variant and the device merge path implement the
     same reference matrix math — same survivors, same fused boxes."""
@@ -229,6 +230,7 @@ def test_device_nms_classes_filter():
     assert sorted(kept[:, 5].tolist()) == [2.0, 3.0]
 
 
+@pytest.mark.slow  # 5 param cases x a fresh NMS jit compile each
 @pytest.mark.parametrize("seed,max_det", [(0, 32), (1, 32), (2, 32),
                                           (0, 4), (1, 4)])
 def test_device_merge_nms_matches_reference_math(seed, max_det):

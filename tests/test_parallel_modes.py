@@ -41,6 +41,7 @@ def _assert_state_close(a, b, rtol=2e-4, atol=1e-6):
                                    rtol=rtol, atol=atol)
 
 
+@pytest.mark.slow  # full train-step jit compile
 def test_fsdp_layout_shards_large_leaves():
     """FSDP shardings: big conv kernels split over ``data``; BN scales and
     other small leaves stay replicated."""
@@ -230,6 +231,7 @@ def test_dp_sp_tp_fsdp_composes():
     _assert_state_close(s_x, s_1)
 
 
+@pytest.mark.slow  # full train-step jit compile
 def test_fsdp_checkpoint_roundtrip(tmp_path):
     """Orbax save from an FSDP-sharded state; restore into both the same
     FSDP layout and a replicated layout (checkpoints are layout-portable)."""

@@ -211,6 +211,7 @@ def test_skip_nonfinite_guard():
     assert total_notfinite(tx2.init({"w": jnp.ones((4,))})) is None
 
 
+@pytest.mark.slow  # full train-step jit compile
 def test_skip_nonfinite_protects_batch_stats(state):
     """A non-finite batch must not poison the BN running statistics while
     the guard is dropping the param update (a NaN in the EWMA would stay
