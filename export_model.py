@@ -72,7 +72,10 @@ def main():
     ap.add_argument("--cfg", required=True, type=str)
     ap.add_argument("--ckpt", type=str, default=None)
     ap.add_argument("--out", type=str, default="model.stablehlo")
-    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--batch", type=str, default="1",
+                    help="batch size; 'dyn' exports a symbolic batch "
+                         "dimension (one StableHLO artifact serves any "
+                         "batch — the dynamic-axes role; stablehlo only)")
     ap.add_argument("--inspect", action="store_true")
     ap.add_argument("--with-postprocess", action="store_true",
                     help="export fwd+decode+NMS serving graph")
@@ -120,7 +123,17 @@ def main():
 
         variables = fold_batchnorm(variables)
         print("folded BN stats into conv kernels")
-    shape = (args.batch, cfg["input_size"], cfg["input_size"],
+    if args.batch == "dyn":
+        if args.format != "stablehlo":
+            ap.error("--batch dyn needs --format stablehlo (tflite/"
+                     "savedmodel trace a concrete shape)")
+        if args.quantize:
+            ap.error("--batch dyn is incompatible with --quantize "
+                     "(calibration batches are concrete)")
+        batch = None
+    else:
+        batch = int(args.batch)
+    shape = (batch, cfg["input_size"], cfg["input_size"],
              cfg.get("in_channels", 3))
     if args.format in ("tflite", "savedmodel"):
         from podtpu.export.tflite import export_savedmodel, export_tflite

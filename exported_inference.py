@@ -62,7 +62,9 @@ def main():
     aval = exported.in_avals[0]
     print(f"input: {aval.dtype}{list(aval.shape)}")
     fn = jax.jit(exported.call)
-    dims = [int(d) for d in aval.shape]
+
+    # symbolic batch (--batch dyn) dims are _DimExpr objects: bench at 1
+    dims = [d if isinstance(d, int) else 1 for d in aval.shape]
     x = np.random.default_rng(0).uniform(0, 1, dims).astype(np.float32)
     # measure device compute, not host->device transfer (which dominates
     # over the remote-TPU tunnel): ship the batch once

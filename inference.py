@@ -51,7 +51,9 @@ def inference(cfg: dict, ckpt: str | None, out_dir: str | None,
             break
         batch.pop("n_valid", None)
         if artifact:
-            x = np.tile(prepare_input(batch["img"]), (art_batch, 1, 1, 1))
+            x = prepare_input(batch["img"])
+            if art_batch and art_batch > 1:  # fixed-batch artifact: tile up
+                x = np.tile(x, (art_batch, 1, 1, 1))
             t0 = time.perf_counter()
             dets, valid = run_artifact(x)
             dets = dets[0][valid[0]]
@@ -63,8 +65,8 @@ def inference(cfg: dict, ckpt: str | None, out_dir: str | None,
         dt = (time.perf_counter() - t0) * 1000
         # an artifact exported at batch B executes B tiled copies: label the
         # time as the batch's, not a single image's
-        unit = (f"ms/batch-{art_batch}" if artifact and art_batch > 1
-                else "ms")
+        unit = (f"ms/batch-{art_batch}"
+                if artifact and art_batch and art_batch > 1 else "ms")
         print(f"[{idx}] inference: {dt:.2f} {unit}, {len(dets)} boxes")
 
         raw = batch["img"][0]

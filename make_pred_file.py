@@ -44,7 +44,9 @@ def make_pred_files(cfg: dict, ckpt: str | None, out_dir: str,
     for idx, batch in enumerate(loader):
         batch.pop("n_valid", None)
         if artifact:
-            x = np.tile(prepare_input(batch["img"]), (art_batch, 1, 1, 1))
+            x = prepare_input(batch["img"])
+            if art_batch and art_batch > 1:  # fixed-batch artifact: tile up
+                x = np.tile(x, (art_batch, 1, 1, 1))
             dets, valid = run_artifact(x)
             dets = dets[0][valid[0]]
         else:

@@ -17,8 +17,11 @@ import numpy as np
 def artifact_runner(artifact: str):
     """Return ``(run, batch_size)`` where ``run(x) -> (dets, valid)``.
 
-    Rejects forward-only exports (no decode+NMS baked in) with a
-    ``ValueError`` telling the user to re-export ``--with-postprocess``.
+    ``batch_size`` is ``None`` for symbolic-batch exports (``export_model.py
+    --batch dyn``): the artifact then accepts any leading dimension and the
+    caller picks. Rejects forward-only exports (no decode+NMS baked in)
+    with a ``ValueError`` telling the user to re-export
+    ``--with-postprocess``.
     """
     if artifact.endswith(".tflite"):
         from podtpu.export.tflite import load_interpreter
@@ -62,7 +65,10 @@ def artifact_runner(artifact: str):
         dets, valid = fn(x)
         return np.asarray(dets), np.asarray(valid).astype(bool)
 
-    return run, int(exported.in_avals[0].shape[0])
+    lead = exported.in_avals[0].shape[0]
+    # symbolic batch dims are _DimExpr objects (int(d) raises); concrete
+    # dims are plain ints
+    return run, (int(lead) if isinstance(lead, int) else None)
 
 
 def prepare_input(x: np.ndarray) -> np.ndarray:

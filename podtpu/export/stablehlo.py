@@ -22,6 +22,19 @@ from jax import export as jexport
 PLATFORMS = ("cpu", "tpu")  # default: artifacts portable across backends
 
 
+def _input_spec(input_shape, dtype) -> jax.ShapeDtypeStruct:
+    """Shape spec for export. A batch entry of ``None`` (or any string)
+    becomes a SYMBOLIC dimension: the artifact then serves ANY batch size
+    with one compiled program per size on load — XLA's native answer to
+    ONNX dynamic axes (which the reference does not use: torch2onnx.py:35
+    exports a fixed (1,3,416,416) sample)."""
+    if input_shape[0] is None or isinstance(input_shape[0], str):
+        dims = jexport.symbolic_shape(
+            "b, " + ", ".join(str(int(d)) for d in input_shape[1:]))
+        return jax.ShapeDtypeStruct(dims, dtype)
+    return jax.ShapeDtypeStruct(tuple(int(d) for d in input_shape), dtype)
+
+
 def export_forward(model, variables, input_shape, dtype=jnp.float32,
                    platforms=PLATFORMS):
     """Jit + export ``model.apply(variables, x, train=False)`` closed over
@@ -29,13 +42,14 @@ def export_forward(model, variables, input_shape, dtype=jnp.float32,
     (default cpu+tpu, so an artifact produced on a CPU dev box runs on TPU
     serving hosts); pass a single platform to freeze for one deployment
     target — multi-platform artifacts carry ``stablehlo.case`` dispatch
-    that NPU validation rejects."""
+    that NPU validation rejects. ``input_shape[0] = None`` exports a
+    symbolic (any-size) batch dimension."""
 
     def forward(x):
         return model.apply(variables, x, train=False)
 
-    x_spec = jax.ShapeDtypeStruct(input_shape, dtype)
-    return jexport.export(jax.jit(forward), platforms=platforms)(x_spec)
+    return jexport.export(jax.jit(forward), platforms=platforms)(
+        _input_spec(input_shape, dtype))
 
 
 def export_stablehlo(model, variables, input_shape, path: str,
@@ -66,8 +80,8 @@ def export_serving(model, variables, cfg: dict, input_shape, path: str,
         preds = model.apply(variables, x, train=False)
         return postprocess(preds)
 
-    x_spec = jax.ShapeDtypeStruct(input_shape, dtype)
-    exported = jexport.export(jax.jit(serve), platforms=platforms)(x_spec)
+    exported = jexport.export(jax.jit(serve), platforms=platforms)(
+        _input_spec(input_shape, dtype))
     with open(path, "wb") as f:
         f.write(exported.serialize())
     return path

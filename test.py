@@ -84,6 +84,8 @@ def evaluate_artifact(cfg: dict, artifact: str,
         run, batch = artifact_runner(artifact)
     except ValueError as e:
         raise SystemExit(str(e))
+    if batch is None:  # symbolic-batch artifact: any size works
+        batch = cfg["batch_size"]
     _, val_ds = build_datasets(cfg)
     val_loader = Loader(val_ds, batch_size=batch, shuffle=False,
                         max_annots=cfg["max_annots"], workers=cfg["workers"])

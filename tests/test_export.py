@@ -343,6 +343,34 @@ def test_serving_export_all_families(name, extra, tmp_path):
                                atol=1e-5)
 
 
+def test_symbolic_batch_serving_export(model_and_vars, tmp_path):
+    """`--batch dyn` exports ONE artifact serving any batch size (the
+    dynamic-axes role the reference's fixed-sample ONNX export lacks,
+    torch2onnx.py:35): same detections as per-size fixed exports."""
+    from podtpu.export.runner import artifact_runner
+    from podtpu.export.stablehlo import export_serving
+
+    model, variables, _ = model_and_vars
+    path = str(tmp_path / "dyn.stablehlo")
+    export_serving(model, variables, CFG, (None, 64, 64, 3), path)
+    run, batch = artifact_runner(path)
+    assert batch is None  # symbolic
+
+    fixed = str(tmp_path / "b3.stablehlo")
+    export_serving(model, variables, CFG, (3, 64, 64, 3), fixed)
+    run_fixed, _ = artifact_runner(fixed)
+
+    rng = np.random.default_rng(4)
+    for b in (1, 3):
+        x = rng.uniform(0, 1, (b, 64, 64, 3)).astype(np.float32)
+        dets, valid = run(x)
+        assert dets.shape[0] == b and valid.shape[0] == b
+        if b == 3:
+            want_dets, want_valid = run_fixed(x)
+            np.testing.assert_array_equal(valid, want_valid)
+            np.testing.assert_allclose(dets, want_dets, atol=1e-5)
+
+
 def test_artifact_eval_matches_trainer_validate(tmp_path):
     """`test.py --artifact` scores the exported serving graph through the
     full val pipeline; its mAP must equal the in-process Trainer.validate

@@ -71,8 +71,10 @@ def run(cfg: dict, ckpt: str | None, ann_json: str, out_json: str,
         inp = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
         inp = cv2.cvtColor(inp, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
         if artifact:
-            dets, valid = run_artifact(np.tile(inp[None],
-                                               (art_batch, 1, 1, 1)))
+            x = inp[None]
+            if art_batch and art_batch > 1:  # fixed-batch artifact: tile up
+                x = np.tile(x, (art_batch, 1, 1, 1))
+            dets, valid = run_artifact(x)
             dets = dets[0][valid[0]]
         else:
             batch = {
