@@ -92,6 +92,41 @@ def _xla_suppress(offset_boxes: jnp.ndarray, cand_valid: jnp.ndarray,
     return jax.lax.fori_loop(0, k, body, cand_valid)
 
 
+def _xla_suppress_early(offset_boxes: jnp.ndarray, cand_valid: jnp.ndarray,
+                        iou_threshold: float) -> jnp.ndarray:
+    """Batched greedy suppression with a data-dependent trip count.
+
+    Candidates are score-sorted, so every index at/past the per-image valid
+    count has ``keep`` False from the start and its loop iteration is a
+    no-op — the loop therefore only needs to run to the LARGEST valid count
+    in the batch (a ``while_loop``; no recompile, the bound is data). IoU
+    rows are computed lazily per iteration instead of materializing the
+    [B, K, K] matrix, so the work drops from O(K²) to O(kmax·K) pairwise
+    terms. On a trained model at serving thresholds kmax is tens, not
+    top_k=512. Bit-identical keeps to :func:`_xla_suppress` (same formula,
+    same order; the skipped iterations are provably no-ops).
+    """
+    b, k, _ = offset_boxes.shape
+    kmax = jnp.max(jnp.sum(cand_valid.astype(jnp.int32), axis=1))
+    idx = jnp.arange(k)
+
+    def cond(carry):
+        i, _ = carry
+        return i < kmax
+
+    def body(carry):
+        i, keep = carry
+        box_i = jax.lax.dynamic_slice_in_dim(offset_boxes, i, 1, axis=1)
+        iou_row = jax.vmap(pairwise_iou)(box_i, offset_boxes)[:, 0]  # [B, K]
+        suppress_row = (iou_row > iou_threshold) & (idx != i)[None, :]
+        alive = jax.lax.dynamic_slice_in_dim(keep, i, 1, axis=1)  # [B, 1]
+        keep = jnp.where(alive, keep & ~suppress_row, keep)
+        return i + 1, keep
+
+    _, keep = jax.lax.while_loop(cond, body, (jnp.asarray(0), cand_valid))
+    return keep
+
+
 def _merge_kept(cand: jnp.ndarray, cand_valid: jnp.ndarray,
                 offset_boxes: jnp.ndarray, keep: jnp.ndarray,
                 iou_threshold: float):
@@ -162,6 +197,8 @@ def batched_class_aware_nms(
             offset_boxes, cand_valid, iou_threshold,
             interpret=(backend == "pallas_interpret"),
         ) > 0.5
+    elif backend == "xla_early":
+        keep = _xla_suppress_early(offset_boxes, cand_valid, iou_threshold)
     else:
         keep = jax.vmap(
             lambda ob, cv: _xla_suppress(ob, cv, iou_threshold)

@@ -83,6 +83,29 @@ def test_pallas_matches_xla_backend():
     assert kept_p == kept_x
 
 
+@pytest.mark.parametrize("seed,conf", [(0, 0.25), (1, 0.25), (2, 0.6),
+                                        (3, 0.999), (4, 0.0)])
+def test_early_exit_backend_matches_dense(seed, conf):
+    """`xla_early` (data-dependent trip count + lazy IoU rows) must keep a
+    bit-identical set to the dense fori_loop backend — including no-valid
+    (conf 0.999 drops everything) and all-valid (conf 0.0) extremes."""
+    rng = np.random.default_rng(seed)
+    b, n = 3, 200
+    boxes = np.zeros((b, n, 6), np.float32)
+    boxes[..., 0:2] = rng.uniform(0, 300, (b, n, 2))
+    boxes[..., 2:4] = rng.uniform(10, 120, (b, n, 2))
+    boxes[..., 4] = rng.uniform(0, 1, (b, n))
+    boxes[..., 5] = rng.integers(0, 5, (b, n))
+
+    kw = dict(conf_threshold=conf, top_k=64, max_detections=64)
+    out_d, val_d = batched_class_aware_nms(jnp.asarray(boxes), backend="xla",
+                                           **kw)
+    out_e, val_e = batched_class_aware_nms(jnp.asarray(boxes),
+                                           backend="xla_early", **kw)
+    np.testing.assert_array_equal(np.asarray(val_d), np.asarray(val_e))
+    np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_e))
+
+
 def test_nms_conf_strictness():
     # conf exactly at the threshold must be dropped (reference uses strict >)
     boxes = np.zeros((4, 6), np.float32)
