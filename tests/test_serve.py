@@ -1,0 +1,88 @@
+"""tools/serve.py HTTP serving demo: artifact -> live endpoint -> JSON
+detections (batch-1 requests, preprocessing inverse applied)."""
+
+import json
+import os
+import sys
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+CFG = {
+    "model": "yolov4-tiny",
+    "num_classes": 3,
+    "input_size": 64,
+    "in_channels": 3,
+    "compute_dtype": "float32",
+    "anchors": [[4, 5], [6, 8], [10, 9], [12, 16], [18, 14],
+                [20, 24], [32, 28], [40, 44], [56, 52]],
+    # untrained head: keep the filter permissive so detections exist
+    "conf_threshold": 0.1,
+}
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    from podtpu.export.stablehlo import export_serving
+    from podtpu.models import YoloV4Tiny
+
+    model = YoloV4Tiny(num_classes=3)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    path = str(tmp_path_factory.mktemp("serve") / "serve.stablehlo")
+    export_serving(model, variables, CFG, (1, 64, 64, 3), path)
+    return path
+
+
+def test_serve_endpoint(artifact):
+    import cv2
+
+    from serve import Engine, make_handler
+
+    engine = Engine(artifact, 64, "letterbox", ["a", "b", "c"])
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        info = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=60).read())
+        assert info["input_size"] == 64 and info["preprocess"] == "letterbox"
+
+        # non-square image exercises the letterbox inverse
+        img = np.random.default_rng(0).integers(
+            0, 255, (100, 160, 3)).astype(np.uint8)
+        body = cv2.imencode(".jpg", img)[1].tobytes()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=body, method="POST")
+        out = json.loads(urllib.request.urlopen(req, timeout=300).read())
+        assert out["num_detections"] == len(out["detections"])
+        for det in out["detections"]:
+            assert det["class_name"] in ("a", "b", "c")
+            assert 0.0 < det["confidence"] <= 1.0
+            cx, cy, w, h = det["box_cxcywh_image"]
+            assert w > 0 and h > 0
+            # image-space boxes are in the 160x100 frame, not the 64 square
+            assert cx < 200 and cy < 140
+
+        # bad input -> 400 with an error payload
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=b"not an image",
+            method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "error" in json.loads(e.read())
+    finally:
+        server.shutdown()

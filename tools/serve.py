@@ -1,0 +1,160 @@
+"""Minimal HTTP serving demo around an exported serving artifact.
+
+The deployment unit is the ``export_model.py --with-postprocess`` artifact
+(forward + decode + NMS in one compiled graph; StableHLO or .tflite). This
+stdlib server wraps it in a production-shaped request loop so the artifact
+can be exercised from anywhere that can POST an image:
+
+    python tools/serve.py --artifact model.stablehlo --size 416 \
+        [--preprocess letterbox|resize] [--names voc.names] [--port 8000]
+
+    curl -s -X POST --data-binary @dog.jpg localhost:8000/predict | jq .
+
+Responses are JSON rows with boxes in BOTH the network's input pixels and
+the original image's pixels (the inverse of the chosen preprocessing).
+``GET /`` returns the artifact metadata. Batch-1 per request; symbolic-batch
+artifacts (``--batch dyn``) work as-is.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import cv2
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from podtpu.config import setup_platform  # noqa: E402
+from podtpu.data.augment import letterbox  # noqa: E402
+from podtpu.utils.viz import load_names  # noqa: E402
+
+
+class Engine:
+    """Artifact + preprocessing, shared across request threads (the jitted
+    call is thread-safe; a lock serializes TFLite's stateful interpreter)."""
+
+    def __init__(self, artifact: str, size: int, preprocess: str,
+                 names: list[str]):
+        # imported after setup_platform so --platform cpu takes effect
+        from podtpu.export.runner import artifact_runner
+
+        self.run, self.batch = artifact_runner(artifact)
+        self.size = size
+        self.preprocess = preprocess
+        self.names = names
+        self.artifact = os.path.basename(artifact)
+        self._lock = threading.Lock()
+
+    def _prep(self, im: np.ndarray):
+        h0, w0 = im.shape[:2]
+        if self.preprocess == "letterbox":
+            im, (r, _), (dw, dh) = letterbox(im, self.size)
+            inv = lambda cx, cy, w, h: (  # noqa: E731
+                (cx - dw) / r, (cy - dh) / r, w / r, h / r)
+        else:
+            im = cv2.resize(im, (self.size, self.size),
+                            interpolation=cv2.INTER_LINEAR)
+            sx, sy = w0 / self.size, h0 / self.size
+            inv = lambda cx, cy, w, h: (cx * sx, cy * sy, w * sx, h * sy)  # noqa: E731
+        return im, inv
+
+    def predict(self, img_bytes: bytes):
+        raw = cv2.imdecode(np.frombuffer(img_bytes, np.uint8),
+                           cv2.IMREAD_COLOR)
+        if raw is None:
+            raise ValueError("could not decode image")
+        im = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB)
+        im, inv = self._prep(im)
+        from podtpu.export.runner import prepare_input
+
+        x = prepare_input(im[None].astype(np.uint8))
+        if self.batch not in (None, 1):  # fixed-batch artifact: pad to B
+            x = np.concatenate(
+                [x, np.zeros((self.batch - 1,) + x.shape[1:], x.dtype)])
+        with self._lock:
+            dets, valid = self.run(x)
+        rows = []
+        for cx, cy, w, h, conf, cls in np.asarray(dets[0])[np.asarray(valid[0])]:
+            ox, oy, ow, oh = inv(cx, cy, w, h)
+            cls = int(cls)
+            rows.append({
+                "class_id": cls,
+                "class_name": (self.names[cls] if cls < len(self.names)
+                               else str(cls)),
+                "confidence": round(float(conf), 4),
+                "box_cxcywh_input": [round(float(v), 2)
+                                     for v in (cx, cy, w, h)],
+                "box_cxcywh_image": [round(float(v), 2)
+                                     for v in (ox, oy, ow, oh)],
+            })
+        return {"detections": rows, "num_detections": len(rows)}
+
+    def info(self):
+        return {"artifact": self.artifact, "input_size": self.size,
+                "preprocess": self.preprocess,
+                "batch": self.batch or "dynamic",
+                "num_classes": len(self.names) or None}
+
+
+def make_handler(engine: Engine):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            self._send(200, engine.info())
+
+        def do_POST(self):
+            if self.path.rstrip("/") != "/predict":
+                self._send(404, {"error": "POST /predict"})
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            try:
+                self._send(200, engine.predict(self.rfile.read(n)))
+            except Exception as e:  # surface bad inputs as 400s
+                self._send(400, {"error": str(e)})
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+    return Handler
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--artifact", required=True)
+    ap.add_argument("--size", type=int, required=True,
+                    help="network input size the artifact was exported at")
+    ap.add_argument("--preprocess", choices=["resize", "letterbox"],
+                    default="letterbox")
+    ap.add_argument("--names", default="", help="class-names file")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--platform", default=None,
+                    help="cpu|tpu (default: environment backend)")
+    args = ap.parse_args()
+    setup_platform(args.platform)
+
+    names = load_names(args.names) if args.names else []
+    engine = Engine(args.artifact, args.size, args.preprocess, names)
+    # compile/warm once so the first request isn't a 30s surprise
+    engine.predict(cv2.imencode(
+        ".jpg", np.zeros((args.size, args.size, 3), np.uint8))[1].tobytes())
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(engine))
+    print(f"serving {engine.info()} on http://{args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
