@@ -153,12 +153,16 @@ def make_postprocess(cfg: dict) -> Callable:
     agnostic = bool(nopts.get("agnostic"))
     classes = nopts.get("classes")
     classes = tuple(int(c) for c in classes) if classes else None
+    # suppression backend (xla | xla_early | pallas); None defers to the
+    # PODTPU_NMS_BACKEND env / the xla default — config wins so serving
+    # exports bake the chosen backend into the artifact
+    backend = nopts.get("backend")
 
     def postprocess(preds):
         boxes = decoder(preds)
         return batched_class_aware_nms(
             boxes, conf_t, iou_t, top_k=top_k, max_detections=max_det,
-            agnostic=agnostic, merge=merge, classes=classes)
+            backend=backend, agnostic=agnostic, merge=merge, classes=classes)
 
     return postprocess
 

@@ -371,6 +371,14 @@ def test_make_postprocess_nms_options():
     dets, valid = post(preds)
     assert dets.shape == (2, 8, 6) and valid.shape == (2, 8)
 
+    # nms_options.backend selects the suppression backend (same results)
+    post_early = make_postprocess({**cfg, "nms_options": {
+        **cfg["nms_options"], "backend": "xla_early"}})
+    dets_e, valid_e = post_early(preds)
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(valid_e))
+    np.testing.assert_allclose(np.asarray(dets), np.asarray(dets_e),
+                               rtol=1e-6)
+
     with pytest.raises(ValueError, match="multi_label"):
         make_decoder({"model": "yolov1", "num_classes": 3, "input_size": 64,
                       "num_boxes": 2}, multi_label=True)
