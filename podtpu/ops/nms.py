@@ -35,11 +35,16 @@ _STATIC = ("conf_threshold", "iou_threshold", "top_k", "max_detections",
            "backend", "agnostic", "merge", "classes")
 
 
-def _default_backend() -> str:
-    """Suppression backend. Override with PODTPU_NMS_BACKEND=pallas|xla.
+_BACKENDS = ("xla", "xla_early", "pallas", "pallas_interpret")
 
-    The Pallas kernel fuses the IoU matrix + loop in VMEM on TPU; XLA is the
-    portable default.
+
+def _default_backend() -> str:
+    """Suppression backend. Override with
+    ``PODTPU_NMS_BACKEND=xla|xla_early|pallas``.
+
+    ``xla`` (default) = dense fori_loop; ``xla_early`` = data-dependent trip
+    count + lazy IoU rows (bit-identical keeps); the Pallas kernel fuses the
+    IoU matrix + loop in VMEM on TPU (measured slower on v5e — scaffold).
     """
     import os
 
@@ -186,6 +191,9 @@ def batched_class_aware_nms(
     """
     if backend is None:
         backend = _default_backend()
+    if backend not in _BACKENDS:
+        raise ValueError(f"unknown NMS backend {backend!r}; "
+                         f"choose from {_BACKENDS}")
     cand, cand_valid, offset_boxes = jax.vmap(
         lambda b: _select_candidates(b, conf_threshold, top_k, agnostic,
                                      classes)

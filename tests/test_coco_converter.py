@@ -70,6 +70,43 @@ def test_convert_all_classes(tmp_path):
     assert len(boxes) == 2
 
 
+def test_basename_collision_keeps_label_image_pairing(tmp_path):
+    """file_names that collide on basename ('cam1/1.jpg' vs 'cam2/1.jpg')
+    must not pair one image with the other's labels."""
+    import cv2
+
+    img_dir = tmp_path / "imgs"
+    (img_dir / "cam1").mkdir(parents=True)
+    (img_dir / "cam2").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for cam in ("cam1", "cam2"):
+        cv2.imwrite(str(img_dir / cam / "1.jpg"),
+                    rng.integers(0, 255, (100, 200, 3)).astype(np.uint8))
+    ann = {
+        "images": [
+            {"id": 1, "file_name": "cam1/1.jpg", "width": 200, "height": 100},
+            {"id": 2, "file_name": "cam2/1.jpg", "width": 200, "height": 100},
+        ],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1,
+             "bbox": [0, 0, 50, 50], "iscrowd": 0, "area": 2500},
+            {"id": 2, "image_id": 2, "category_id": 1,
+             "bbox": [100, 50, 50, 50], "iscrowd": 0, "area": 2500},
+        ],
+        "categories": [{"id": 1, "name": "person"}],
+    }
+    ann_path = tmp_path / "ann.json"
+    ann_path.write_text(json.dumps(ann))
+    out = convert(str(ann_path), str(img_dir), str(tmp_path / "yolo"),
+                  split="train", copy=True)
+    assert out["n_train"] == 2
+    with open(out["train_list"]) as f:
+        paths = [l for l in f.read().splitlines() if l]
+    assert len(set(paths)) == 2  # two distinct files, no overwrite
+    labels = sorted(open(p[:-4] + ".txt").read().strip() for p in paths)
+    assert labels[0] != labels[1]  # each image kept its own annotation
+
+
 def test_convert_class_subset(tmp_path):
     ann, img_dir = _make_coco(tmp_path)
     out = convert(ann, img_dir, str(tmp_path / "yolo_person"), split="val",

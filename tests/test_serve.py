@@ -58,6 +58,13 @@ def test_serve_endpoint(artifact):
             f"http://127.0.0.1:{port}/", timeout=60).read())
         assert info["input_size"] == 64 and info["preprocess"] == "letterbox"
 
+        try:  # unknown GET routes are 404, not silently-OK metadata
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/predict",
+                                   timeout=60)
+            assert False, "expected HTTP 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
         # non-square image exercises the letterbox inverse
         img = np.random.default_rng(0).integers(
             0, 255, (100, 160, 3)).astype(np.uint8)

@@ -53,11 +53,19 @@ def convert(ann_path: str, img_dir: str, out_dir: str, split: str = "train",
     out_img_dir = os.path.join(out_dir, "images")
     os.makedirs(out_img_dir, exist_ok=True)
     paths = []
+    used: dict[str, int] = {}
     for image_id, im in images.items():
         src = os.path.join(img_dir, im["file_name"])
         if not os.path.exists(src):
             continue
-        dst = os.path.join(out_img_dir, os.path.basename(im["file_name"]))
+        # flatten subdirectories into the name; COCO file_names may collide
+        # on basename ('cam1/0001.jpg' vs 'cam2/0001.jpg') — namespace by
+        # image id on collision so labels never pair with the wrong pixels
+        flat = im["file_name"].replace("/", "_").replace(os.sep, "_")
+        if used.setdefault(flat, image_id) != image_id:
+            root, ext = os.path.splitext(flat)
+            flat = f"{root}_{image_id}{ext}"
+        dst = os.path.join(out_img_dir, flat)
         if not os.path.exists(dst):
             if copy:
                 shutil.copyfile(src, dst)

@@ -19,6 +19,7 @@ artifacts (``--batch dyn``) work as-is.
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
 import os
 import sys
@@ -49,14 +50,21 @@ class Engine:
         self.preprocess = preprocess
         self.names = names
         self.artifact = os.path.basename(artifact)
-        self._lock = threading.Lock()
+        # the jitted StableHLO call is thread-safe; only TFLite's stateful
+        # interpreter needs serializing
+        self._lock = (threading.Lock() if artifact.endswith(".tflite")
+                      else contextlib.nullcontext())
 
     def _prep(self, im: np.ndarray):
         h0, w0 = im.shape[:2]
         if self.preprocess == "letterbox":
-            im, (r, _), (dw, dh) = letterbox(im, self.size)
+            # scaleup=False matches the framework's validated eval path
+            # (dataset letterboxes without upscaling at eval time)
+            im, (r, _), (dw, dh) = letterbox(im, self.size, scaleup=False)
+            # invert with the integer pads letterbox actually applied
+            left, top = int(round(dw - 0.1)), int(round(dh - 0.1))
             inv = lambda cx, cy, w, h: (  # noqa: E731
-                (cx - dw) / r, (cy - dh) / r, w / r, h / r)
+                (cx - left) / r, (cy - top) / r, w / r, h / r)
         else:
             im = cv2.resize(im, (self.size, self.size),
                             interpolation=cv2.INTER_LINEAR)
@@ -113,7 +121,10 @@ def make_handler(engine: Engine):
             self.wfile.write(body)
 
         def do_GET(self):
-            self._send(200, engine.info())
+            if self.path.rstrip("/") in ("", "/info"):
+                self._send(200, engine.info())
+            else:
+                self._send(404, {"error": "GET / for info, POST /predict"})
 
         def do_POST(self):
             if self.path.rstrip("/") != "/predict":

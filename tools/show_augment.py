@@ -32,7 +32,19 @@ def _to_bgr_uint8(im: np.ndarray) -> np.ndarray:
 
 
 def _panel(sample, size: int, names) -> np.ndarray:
-    im, boxes = sample[0], sample[1]  # device_geom samples carry a 3rd row
+    im, boxes = sample[0], sample[1]
+    if len(sample) == 3:
+        # device_geom sample: the host ships un-warped pixels + the
+        # (sx, sy, bx, by) row; render what the device-side warp produces
+        # so the drawn (already-transformed) labels line up
+        from podtpu.data.device_aug import separable_affine
+
+        geom = np.asarray(sample[2], np.float32)
+        if not np.allclose(geom, [1.0, 1.0, 0.0, 0.0]):
+            imf = np.asarray(im, np.float32)
+            if np.asarray(im).dtype == np.uint8:
+                imf = imf / 255.0
+            im = np.asarray(separable_affine(imf[None], geom[None]))[0]
     rows = np.zeros((len(boxes), 6), np.float32)
     if len(boxes):
         rows[:, :4] = np.asarray(boxes)[:, :4] * size
@@ -48,11 +60,18 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--platform", default="cpu",
+                    help="backend for the device_geom warp preview "
+                         "(cpu default: this is a host-side tool)")
     args = ap.parse_args()
+    from podtpu.config import setup_platform
+
+    setup_platform(args.platform)
 
     cfg = get_configs(args.cfg)
     size = int(cfg["input_size"])
-    names = load_names(cfg["names"]) if os.path.exists(cfg["names"]) else []
+    names_path = cfg.get("names") or ""
+    names = load_names(names_path) if os.path.exists(names_path) else []
     train_ds, _ = build_datasets(cfg)
     # the plain (un-augmented) view of the same images for the right panel
     plain_ds = YoloTxtDataset(cfg["train_list"], size, False,
