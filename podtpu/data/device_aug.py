@@ -60,8 +60,93 @@ def hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([r, g, b], axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# cv2-exact uint8 HSV math (the reference's augment_hsv LUT path,
+# dataset/detection/augmentations.py:47-60, runs cv2.cvtColor BGR2HSV on
+# 8-bit images; OpenCV's 8u kernels are fixed-point with 12-bit division
+# tables). Opt-in via cfg ``device_hsv: exact``.
+# ---------------------------------------------------------------------------
+
+_HSV_SHIFT = 12
+
+
+@functools.lru_cache(maxsize=1)
+def _hsv_div_tables():
+    import numpy as np
+
+    i = np.arange(256, dtype=np.float64)
+    sdiv = np.zeros(256, np.int32)
+    hdiv = np.zeros(256, np.int32)
+    sdiv[1:] = np.round((255 << _HSV_SHIFT) / i[1:]).astype(np.int32)
+    hdiv[1:] = np.round((180 << _HSV_SHIFT) / (6.0 * i[1:])).astype(np.int32)
+    return jnp.asarray(sdiv), jnp.asarray(hdiv)
+
+
+def bgr_hsv_u8(rgb_u8: jnp.ndarray):
+    """[..., 3] RGB uint8 -> (h, s, v) int32, cv2 ``COLOR_BGR2HSV`` 8u math
+    (h in [0, 180)). The BGR convention matches the host pipeline, which
+    jitters before its final BGR->RGB conversion exactly like the
+    reference does."""
+    x = rgb_u8.astype(jnp.int32)
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    v = jnp.maximum(jnp.maximum(b, g), r)
+    vmin = jnp.minimum(jnp.minimum(b, g), r)
+    diff = v - vmin
+    sdiv, hdiv = _hsv_div_tables()
+    half = 1 << (_HSV_SHIFT - 1)
+    s = (diff * jnp.take(sdiv, v) + half) >> _HSV_SHIFT
+    h_raw = jnp.where(v == r, g - b,
+                      jnp.where(v == g, b - r + 2 * diff, r - g + 4 * diff))
+    h = (h_raw * jnp.take(hdiv, diff) + half) >> _HSV_SHIFT
+    return h + jnp.where(h < 0, 180, 0), s, v
+
+
+def hsv_bgr_u8(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """(h [0,180), s, v uint8-ranged ints) -> [..., 3] RGB uint8, cv2
+    ``COLOR_HSV2BGR`` 8u math.
+
+    cv2's 8u path normalizes s and v by ``* (1.f/255)``, runs the float
+    sector kernel, multiplies by ``255.f`` and TRUNCATES (a C cast, not
+    cvRound) — reverse-engineered against the full 256x256 (s, v) grid:
+    the hue-independent entries match cv2 bit-exactly (other
+    round/association variants mismatch on 0.9-49% of the grid); the
+    hue-interpolated entries land within 1 LSB on <0.05% of (h, s, v)
+    triples (ULP-level differences in cv2's vectorized kernel)."""
+    one = jnp.float32(1.0)
+    r255 = jnp.float32(1.0 / 255.0)
+    hf = h.astype(jnp.float32) * jnp.float32(6.0 / 180.0)
+    sf = s.astype(jnp.float32) * r255
+    vf = v.astype(jnp.float32) * r255
+    sector = jnp.clip(jnp.floor(hf).astype(jnp.int32), 0, 5)
+    frac = hf - sector.astype(jnp.float32)
+    tab = jnp.stack([vf, vf * (one - sf), vf * (one - sf * frac),
+                     vf * (one - sf * (one - frac))], axis=-1)
+    # per-sector (b, g, r) tab indices — OpenCV's sector_data
+    sector_data = jnp.asarray([[1, 3, 0], [1, 0, 2], [3, 0, 1],
+                               [0, 2, 1], [0, 1, 3], [2, 1, 0]], jnp.int32)
+    idx = jnp.take(sector_data, sector, axis=0)        # [..., 3] b,g,r
+    bgr = jnp.take_along_axis(tab, idx, axis=-1)       # [..., 3]
+    rgb = bgr[..., ::-1]
+    return jnp.clip(jnp.trunc(rgb * jnp.float32(255.0)), 0, 255).astype(jnp.uint8)
+
+
+def exact_hsv_jitter_u8(rgb_u8: jnp.ndarray, gains: jnp.ndarray) -> jnp.ndarray:
+    """The reference's LUT jitter on cv2 8u HSV: per-image ``gains``
+    [B, 3] multiply (h % 180, clip s, clip v) with truncation — the exact
+    ``((x*r) % 180).astype(u8)`` / ``clip(x*r, 0, 255).astype(u8)`` LUTs of
+    augmentations.py:53-56 applied analytically."""
+    h, s, v = bgr_hsv_u8(rgb_u8)
+    gh = gains[:, 0, None, None]
+    gs = gains[:, 1, None, None]
+    gv = gains[:, 2, None, None]
+    h2 = jnp.floor(jnp.mod(h.astype(jnp.float32) * gh, 180.0)).astype(jnp.int32)
+    s2 = jnp.floor(jnp.clip(s.astype(jnp.float32) * gs, 0.0, 255.0)).astype(jnp.int32)
+    v2 = jnp.floor(jnp.clip(v.astype(jnp.float32) * gv, 0.0, 255.0)).astype(jnp.int32)
+    return hsv_bgr_u8(h2, s2, v2)
+
+
 @functools.partial(jax.jit, static_argnames=("hgain", "sgain", "vgain",
-                                             "flip_p"))
+                                             "flip_p", "hsv"))
 def device_augment(
     rng: jax.Array,
     images: jnp.ndarray,
@@ -70,11 +155,16 @@ def device_augment(
     sgain: float = 0.7,
     vgain: float = 0.4,
     flip_p: float = 0.5,
+    hsv: str = "approx",
 ):
     """Per-image HSV jitter + horizontal flip on device.
 
     images: [B, H, W, 3] float32 in [0, 1]; annots: [B, T, 5] normalized
     (cx flipped with the image; padding rows stay untouched).
+    ``hsv='exact'`` runs the cv2-faithful uint8 LUT math (images are
+    re-quantized to uint8 around the jitter, as every cv2 stage does);
+    ``'approx'`` (default) is the float RGB-space approximation — measured
+    accuracy-neutral over full soaks (RESULTS.md round-3 A/B).
     Returns (images, annots).
     """
     b = images.shape[0]
@@ -84,11 +174,17 @@ def device_augment(
     gains_s = 1.0 + jax.random.uniform(k_s, (b, 1, 1), minval=-1.0, maxval=1.0) * sgain
     gains_v = 1.0 + jax.random.uniform(k_v, (b, 1, 1), minval=-1.0, maxval=1.0) * vgain
 
-    hsv = rgb_to_hsv(images)
-    h = (hsv[..., 0] * gains_h) % 1.0
-    s = jnp.clip(hsv[..., 1] * gains_s, 0.0, 1.0)
-    v = jnp.clip(hsv[..., 2] * gains_v, 0.0, 1.0)
-    images = hsv_to_rgb(jnp.stack([h, s, v], axis=-1))
+    if hsv == "exact":
+        u8 = jnp.clip(jnp.round(images * 255.0), 0, 255).astype(jnp.uint8)
+        gains = jnp.concatenate(
+            [gains_h[:, :, 0], gains_s[:, :, 0], gains_v[:, :, 0]], axis=1)
+        images = exact_hsv_jitter_u8(u8, gains).astype(jnp.float32) / 255.0
+    else:
+        hsv_img = rgb_to_hsv(images)
+        h = (hsv_img[..., 0] * gains_h) % 1.0
+        s = jnp.clip(hsv_img[..., 1] * gains_s, 0.0, 1.0)
+        v = jnp.clip(hsv_img[..., 2] * gains_v, 0.0, 1.0)
+        images = hsv_to_rgb(jnp.stack([h, s, v], axis=-1))
 
     flips = jax.random.uniform(k_f, (b,)) < flip_p  # [B]
     flipped = images[:, :, ::-1, :]
@@ -153,5 +249,6 @@ def make_device_augment(cfg: dict):
     if not cfg.get("device_augment", False):
         return None
     return functools.partial(
-        device_augment, hgain=0.015, sgain=0.7, vgain=0.4, flip_p=0.5
+        device_augment, hgain=0.015, sgain=0.7, vgain=0.4, flip_p=0.5,
+        hsv=str(cfg.get("device_hsv", "approx")),
     )
