@@ -34,6 +34,7 @@ from podtpu.export.torch_port import (  # noqa: E402
 )
 from podtpu.losses import yolov2_loss_v2, yolov3_loss_v2  # noqa: E402
 from podtpu.models.yolov2 import YoloV2  # noqa: E402
+from podtpu.models.yolov3 import YoloV3  # noqa: E402
 from podtpu.models.yolov4_tiny import YoloV4Tiny  # noqa: E402
 from tests.helpers import (  # noqa: E402
     VOC_ANCHORS,
@@ -56,6 +57,11 @@ def _build_reference(name: str):
         det = import_reference("models.detector.yolov2")
         bb = dk.darknet19(pretrained="", features_only=True, out_indices=[4, 5])
         return det.YoloV2(bb, num_classes=C, num_anchors=5)
+    if name == "yolov3":
+        det = import_reference("models.detector.yolov3")
+        bb = dk.darknet19(pretrained="", features_only=True,
+                          out_indices=[3, 4, 5])
+        return det.YoloV3(bb, num_classes=C, num_anchors=9)
     det = import_reference("models.detector.yolov4_tiny")
     return det.YoloV4TinyV4(num_classes=C, num_anchors=9)
 
@@ -92,10 +98,11 @@ def _grad_direction_table(t_grads: dict, j_torch_layout: dict):
 # tensors where torch-f32 disagrees, i.e. the discrepancy is conditioning,
 # not semantics. There, parity is asserted as direction (cosine) + norm.
 _GRAD_CRITERIA = {"yolov4-tiny": ("elementwise", 2e-3),
-                  "yolov2": ("direction", (0.999, 0.02))}
+                  "yolov2": ("direction", (0.999, 0.02)),
+                  "yolov3": ("direction", (0.999, 0.02))}
 
 
-@pytest.mark.parametrize("name", ["yolov2", "yolov4-tiny"])
+@pytest.mark.parametrize("name", ["yolov2", "yolov3", "yolov4-tiny"])
 def test_gradient_parity(name):
     ref = _build_reference(name)
     ref.train()
@@ -119,8 +126,10 @@ def test_gradient_parity(name):
     t_grads = {k: p.grad for k, p in ref.named_parameters()}
 
     # --- jax side: same weights, same batch, jax.grad
-    model = (YoloV2(num_classes=C, num_anchors=5) if name == "yolov2"
-             else YoloV4Tiny(num_classes=C, num_anchors=9))
+    model = {"yolov2": lambda: YoloV2(num_classes=C, num_anchors=5),
+             "yolov3": lambda: YoloV3(num_classes=C, num_anchors=9),
+             "yolov4-tiny": lambda: YoloV4Tiny(num_classes=C,
+                                               num_anchors=9)}[name]()
     copy = lambda v: jnp.array(v, copy=True)  # noqa: E731 — see sgd test
     stats = jax.tree_util.tree_map(copy, variables["batch_stats"])
     params = jax.tree_util.tree_map(copy, variables["params"])
