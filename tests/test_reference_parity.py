@@ -300,3 +300,32 @@ def test_live_loss_parity_yolov3_slot_collision(variant):
     got = float(fn([jnp.asarray(nchw_to_nhwc(p)) for p in preds],
                    jnp.asarray(tgt), C, VOC_ANCHORS, 416))
     assert got == pytest.approx(want, rel=1e-4)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_live_host_nms_variant_parity(seed):
+    """The dormant host NMS variants (podtpu/ops/nms_host.py nms_v1/nms_v2)
+    against the ACTUAL reference functions (utils/yolo_utils.py:182-318) on
+    random candidate clouds — row-for-row, including output ordering."""
+    from podtpu.ops.nms_host import nms_v1, nms_v2
+
+    ref = import_reference("utils.yolo_utils")
+    rng = np.random.default_rng(seed)
+    n = 120
+    cand = np.zeros((n, 6), np.float32)
+    # clustered centers so suppression actually fires
+    cand[:, 0:2] = rng.uniform(40, 200, (n, 2)) // 20 * 20 + rng.normal(
+        0, 4, (n, 2))
+    cand[:, 2:4] = rng.uniform(15, 60, (n, 2))
+    cand[:, 4] = rng.uniform(0, 1, n)
+    cand[:, 5] = rng.integers(0, 4, n)
+
+    with torch.no_grad():
+        want1 = ref.nms_v1(torch.from_numpy(cand)).numpy()
+        want2 = ref.nms_v2(torch.from_numpy(cand)).numpy()
+    got1 = nms_v1(cand)
+    got2 = nms_v2(cand)
+    assert got1.shape == want1.shape
+    np.testing.assert_allclose(got1, want1, atol=1e-5)
+    assert got2.shape == want2.shape
+    np.testing.assert_allclose(got2, want2, atol=1e-5)
