@@ -207,6 +207,45 @@ def augment_hsv(im: np.ndarray, rng: np.random.Generator,
     return cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
 
 
+def pixel_ops(im: np.ndarray, rng: np.random.Generator,
+              p: float = 0.01) -> np.ndarray:
+    """The reference's Albumentations wrapper: Blur / MedianBlur / ToGray /
+    CLAHE, each applied independently with probability ``p`` = 0.01
+    (dataset/detection/augmentations.py:24-32; active in the published runs —
+    the package is a declared dependency, README.md:19).
+
+    Pixel-only, label-free (the other three transforms in that Compose have
+    p=0.0). Math mirrors albumentations 1.0.3's cv2 calls, including feeding
+    the BGR working buffer into RGB-convention conversions exactly like the
+    reference does (Ultralytics keeps images BGR until tensor conversion):
+
+    * Blur / MedianBlur: kernel size drawn from {3, 5, 7} (blur_limit 7);
+    * ToGray: RGB2GRAY weights on the BGR buffer, replicated to 3 channels;
+    * CLAHE: clip limit ~ U(1, 4), 8x8 tiles, applied to LAB's L channel
+      via the RGB2LAB conversion on the BGR buffer.
+
+    ``rng`` must be a stream independent of the sample's geometry/HSV draws
+    (the dataset derives one per sample) so enabling/disabling this never
+    shifts the locked augmentation draw stream.
+    """
+    if rng.random() < p:  # Blur
+        k = int(rng.choice((3, 5, 7)))
+        im = cv2.blur(im, (k, k))
+    if rng.random() < p:  # MedianBlur
+        k = int(rng.choice((3, 5, 7)))
+        im = cv2.medianBlur(np.ascontiguousarray(im), k)
+    if rng.random() < p:  # ToGray
+        gray = cv2.cvtColor(im, cv2.COLOR_RGB2GRAY)
+        im = cv2.cvtColor(gray, cv2.COLOR_GRAY2RGB)
+    if rng.random() < p:  # CLAHE
+        clip = float(rng.uniform(1.0, 4.0))
+        op = cv2.createCLAHE(clipLimit=clip, tileGridSize=(8, 8))
+        lab = cv2.cvtColor(im, cv2.COLOR_RGB2LAB)
+        lab[:, :, 0] = op.apply(lab[:, :, 0])
+        im = cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
+    return im
+
+
 # --------------------------------------------------------------------------
 # simple pipeline pieces (v1/v2/v4-tiny recipes)
 # --------------------------------------------------------------------------

@@ -50,7 +50,8 @@ class YoloTxtDataset:
                  pipeline: str = "letterbox", mosaic: float = 0.0,
                  copy_paste: float = 0.0,
                  cache_images: bool = False, output_uint8: bool = False,
-                 photometric: bool = True, device_geom: bool = False):
+                 photometric: bool = True, device_geom: bool = False,
+                 pixel_ops: bool = True):
         with open(list_file, "r") as f:
             self.imgs = [l for l in f.read().splitlines() if l.strip()]
         self.input_size = input_size
@@ -88,6 +89,12 @@ class YoloTxtDataset:
         if device_geom:
             assert not photometric, \
                 "device_geom requires device_augment (device photometric)"
+        # the reference's Albumentations wrapper (Blur/MedianBlur/ToGray/
+        # CLAHE, each p=0.01) runs in its letterbox pipeline only
+        # (datasets.py:58-60); draws come from a per-sample stream derived
+        # independently of the main one, so toggling it never shifts the
+        # locked geometry/HSV draw stream (cfg `pixel_ops: false` disables)
+        self.pixel_ops = bool(pixel_ops) and pipeline == "letterbox"
 
     def _load_resized_cached(self, index: int):
         if self._cache is not None and index in self._cache:
@@ -106,12 +113,15 @@ class YoloTxtDataset:
     def get(self, index: int, seed: int):
         rng = np.random.default_rng(seed)
         if self.pipeline == "letterbox":
+            rng_px = (np.random.default_rng((seed, 0x414C42))
+                      if (self.augment and self.pixel_ops) else None)
             if self.augment and self.mosaic > 0 and rng.random() < self.mosaic:
-                return self._mosaic_sample(index, rng)
-            return self._letterbox_sample(index, rng)
+                return self._mosaic_sample(index, rng, rng_px)
+            return self._letterbox_sample(index, rng, rng_px)
         return self._simple_sample(index, rng)
 
-    def _mosaic_sample(self, index: int, rng: np.random.Generator):
+    def _mosaic_sample(self, index: int, rng: np.random.Generator,
+                       rng_px: np.random.Generator | None = None):
         size = self.input_size
         indices = [index] + list(rng.integers(0, len(self.imgs), 3))
         imgs, boxes_px = [], []
@@ -156,6 +166,8 @@ class YoloTxtDataset:
             out[:, 2] = (x2 - x1) / ww
             out[:, 3] = (y2 - y1) / hh
             out[:, 4] = boxes[:, 0]
+        if rng_px is not None:
+            im = A.pixel_ops(im, rng_px)
         if self.photometric:
             im = A.augment_hsv(im, rng)
             if rng.random() < 0.5:
@@ -167,7 +179,8 @@ class YoloTxtDataset:
         return im, out
 
     # -- letterbox (v3) path ------------------------------------------------
-    def _letterbox_sample(self, index: int, rng: np.random.Generator):
+    def _letterbox_sample(self, index: int, rng: np.random.Generator,
+                          rng_px: np.random.Generator | None = None):
         size = self.input_size
         im, (h0, w0), (h, w), labels = self._load_resized_cached(index)
         im, ratio, pad = A.letterbox(im, size, scaleup=self.augment)
@@ -216,6 +229,13 @@ class YoloTxtDataset:
             out[:, 3] = (y2 - y1) / hh
             out[:, 4] = boxes[:, 0]
 
+        if rng_px is not None:
+            # reference order: geometry -> Albumentations wrapper -> HSV ->
+            # flip (datasets.py:46-75). Under device_geom the pixels ship
+            # un-warped, so the (p=0.01) pixel ops land pre-warp instead —
+            # blur/gray/CLAHE commute with the separable warp up to one
+            # interpolation, a distribution-level match.
+            im = A.pixel_ops(im, rng_px)
         if self.augment and self.photometric:
             im = A.augment_hsv(im, rng)
             if rng.random() < 0.5:
@@ -342,7 +362,8 @@ def build_datasets(cfg: dict):
                            pipeline, mosaic=float(cfg.get("mosaic", 0.0)),
                            copy_paste=float(cfg.get("copy_paste", 0.0)),
                            cache_images=cache, output_uint8=u8,
-                           photometric=photometric, device_geom=device_geom)
+                           photometric=photometric, device_geom=device_geom,
+                           pixel_ops=bool(cfg.get("pixel_ops", True)))
     val = YoloTxtDataset(cfg["val_list"], cfg["input_size"], False, pipeline,
                          cache_images=cache, output_uint8=u8)
     return train, val

@@ -546,3 +546,64 @@ def test_copy_paste_mosaic_knob(synth):
         assert im.shape == (64, 64, 3)
         if len(ann):
             assert np.all(ann[:, :4] >= 0) and np.all(ann[:, :4] <= 1)
+
+
+def test_pixel_ops_semantics():
+    """The Albumentations-wrapper ops (Blur/MedianBlur/ToGray/CLAHE) fire
+    per the drawn probabilities and match their cv2 definitions."""
+    import cv2
+
+    from podtpu.data.augment import pixel_ops
+
+    rng = np.random.default_rng(0)
+    im = (np.arange(64 * 64 * 3, dtype=np.uint8).reshape(64, 64, 3) * 7)
+
+    # p=1: every op fires, in order. Replay the same stream manually.
+    out = pixel_ops(im.copy(), np.random.default_rng(42), p=1.0)
+    r = np.random.default_rng(42)
+    want = im.copy()
+    r.random(); k = int(r.choice((3, 5, 7)))
+    want = cv2.blur(want, (k, k))
+    r.random(); k = int(r.choice((3, 5, 7)))
+    want = cv2.medianBlur(np.ascontiguousarray(want), k)
+    r.random()
+    want = cv2.cvtColor(cv2.cvtColor(want, cv2.COLOR_RGB2GRAY),
+                        cv2.COLOR_GRAY2RGB)
+    r.random(); clip = float(r.uniform(1.0, 4.0))
+    op = cv2.createCLAHE(clipLimit=clip, tileGridSize=(8, 8))
+    lab = cv2.cvtColor(want, cv2.COLOR_RGB2LAB)
+    lab[:, :, 0] = op.apply(lab[:, :, 0])
+    want = cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
+    np.testing.assert_array_equal(out, want)
+
+    # p=0: identity
+    np.testing.assert_array_equal(pixel_ops(im.copy(), rng, p=0.0), im)
+
+    # ToGray output has equal channels; firing rate ~4 p per image
+    fired = sum(
+        not np.array_equal(pixel_ops(im.copy(),
+                                     np.random.default_rng(s)), im)
+        for s in range(2000))
+    assert 40 <= fired <= 130  # ~4% of images see >=1 of the 4 p=0.01 ops
+
+
+def test_pixel_ops_stream_isolated(synth):
+    """Toggling pixel_ops never shifts the locked geometry/HSV draw stream:
+    labels are bit-identical with the knob on and off, for every seed."""
+    on = YoloTxtDataset(synth["train_list"], 160, augment=True,
+                        pipeline="letterbox", pixel_ops=True)
+    off = YoloTxtDataset(synth["train_list"], 160, augment=True,
+                         pipeline="letterbox", pixel_ops=False)
+    assert on.pixel_ops and not off.pixel_ops
+    n_diff = 0
+    for seed in range(60):
+        a_img, a_box = on.get(seed % len(on), seed=seed)
+        b_img, b_box = off.get(seed % len(off), seed=seed)
+        np.testing.assert_array_equal(a_box, b_box)
+        n_diff += not np.array_equal(a_img, b_img)
+    assert n_diff <= 12  # only the rare fired samples differ in pixels
+
+    # the simple pipeline never applies them (reference: letterbox-only)
+    simple = YoloTxtDataset(synth["train_list"], 160, augment=True,
+                            pipeline="simple", pixel_ops=True)
+    assert not simple.pixel_ops
