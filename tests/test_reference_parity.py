@@ -329,3 +329,50 @@ def test_live_host_nms_variant_parity(seed):
     np.testing.assert_allclose(got1, want1, atol=1e-5)
     assert got2.shape == want2.shape
     np.testing.assert_allclose(got2, want2, atol=1e-5)
+
+
+def test_live_decode_parity():
+    """Full-tensor decode parity vs the ACTUAL reference decode_predictions
+    (utils/yolov{1,2,3}_utils.py) — upgrades the hardcoded goldens of
+    tests/test_nms.py::test_decode_reference_goldens to executing evidence.
+    Only the candidate flatten order differs ([H,W,A] vs [A,H,W] — NMS/mAP
+    are order-free), undone here by a transpose."""
+    from podtpu.ops.decode import (decode_anchor_head, decode_yolov1,
+                                   decode_yolov2)
+
+    B = 2
+
+    # v2: [B, A*(5+C), 13, 13], scaled (grid-unit) anchors
+    ref2 = import_reference("utils.yolov2_utils")
+    p2 = normal((B, 5 * (5 + C), 13, 13), 500)
+    with torch.no_grad():
+        want = ref2.decode_predictions(
+            torch.from_numpy(p2), C, VOC_SCALED_ANCHORS, 416).numpy()
+    want = want.reshape(B, 5, 13, 13, 6).transpose(0, 2, 3, 1, 4).reshape(
+        B, -1, 6)
+    got = np.asarray(decode_yolov2(
+        jnp.asarray(nchw_to_nhwc(p2)), C, VOC_SCALED_ANCHORS, 416))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+    # v3: per-layer decode with input-pixel anchor triplets
+    ref3 = import_reference("utils.yolov3_utils")
+    for hw, tri in ((52, slice(0, 3)), (26, slice(3, 6)), (13, slice(6, 9))):
+        p3 = normal((B, 3 * (5 + C), hw, hw), 501 + hw)
+        anchors = np.asarray(VOC_ANCHORS, np.float32)[tri]
+        with torch.no_grad():
+            want = ref3.decode_predictions(
+                torch.from_numpy(p3), C, anchors.tolist(), 416).numpy()
+        want = want.reshape(B, 3, hw, hw, 6).transpose(
+            0, 2, 3, 1, 4).reshape(B, -1, 6)
+        got = np.asarray(decode_anchor_head(
+            jnp.asarray(nchw_to_nhwc(p3)), C,
+            jnp.asarray(anchors) * hw / 416.0, 416))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+    # v1: flat [B, 7*7*(C+10)], best-of-B one-hot box selection
+    ref1 = import_reference("utils.yolov1_utils")
+    p1 = normal((B, 7 * 7 * (C + 10)), 502)
+    with torch.no_grad():
+        want = ref1.decode_predictions(torch.from_numpy(p1), C, 2, 448).numpy()
+    got = np.asarray(decode_yolov1(jnp.asarray(p1), C, 2, 448))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
