@@ -321,6 +321,15 @@ def install_reference_shims():
         tv.ops = ops
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.ops"] = ops
+    if "pkg_resources" not in sys.modules:
+        # removed from setuptools on this box; the reference's utils/general.py
+        # imports it for version checks only (general.py:252-276)
+        pr = types.ModuleType("pkg_resources")
+        pr.parse_version = lambda v: tuple(
+            int(x) if x.isdigit() else x for x in str(v).split("."))
+        pr.parse_requirements = lambda f: iter(())
+        pr.require = lambda r: None
+        sys.modules["pkg_resources"] = pr
 
 
 def import_reference(module_name: str, root: str = REFERENCE_ROOT):

@@ -441,3 +441,36 @@ def test_live_schedule_parity():
         assert float(ours(step)) == pytest.approx(
             opt.param_groups[0]["lr"], rel=1e-6, abs=1e-12), step
         ref.step()
+
+
+@pytest.mark.parametrize("multi_label", [False, True])
+def test_live_ultralytics_nms_parity(multi_label):
+    """Host non_max_suppression vs the ACTUAL reference implementation
+    (utils/general.py:640-731). The reference hardcodes ``merge = False``
+    internally (general.py:660), so only the default and multi_label modes
+    are live-testable (merge stays locked by the matrix-math oracles in
+    tests/test_nms.py). The core nms call inside the reference resolves to
+    the shimmed torchvision op, so what this locks is everything around it:
+    conf gating, obj*cls math, the multi-label expansion, xywh->xyxy, and
+    output ordering."""
+    from podtpu.ops.nms_host import non_max_suppression
+
+    ref = import_reference("utils.general")
+    rng = np.random.default_rng(31 + multi_label)
+    n, c = 90, 4
+    raw = np.zeros((1, n, 5 + c), np.float32)
+    # clustered boxes so suppression/merging actually fires
+    raw[0, :, 0:2] = rng.uniform(60, 360, (n, 2)) // 40 * 40 + rng.normal(
+        0, 6, (n, 2))
+    raw[0, :, 2:4] = rng.uniform(25, 90, (n, 2))
+    raw[0, :, 4] = rng.uniform(0, 1, n)
+    raw[0, :, 5:] = rng.uniform(0, 1, (n, c))
+
+    with torch.no_grad():
+        want = ref.non_max_suppression(
+            torch.from_numpy(raw), conf_thres=0.25, iou_thres=0.45,
+            multi_label=multi_label)[0].numpy()
+    got = non_max_suppression(raw[0], conf_thres=0.25, iou_thres=0.45,
+                              multi_label=multi_label)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-4)
