@@ -93,3 +93,50 @@ def test_serve_endpoint(artifact):
             assert "error" in json.loads(e.read())
     finally:
         server.shutdown()
+
+
+def test_serve_micro_batching(tmp_path):
+    """--max-batch coalescing: concurrent requests share padded device
+    dispatches and every response matches the unbatched engine's."""
+    import cv2
+
+    from serve import Engine, make_handler
+
+    from podtpu.export.stablehlo import export_serving
+    from podtpu.models import YoloV4Tiny
+
+    model = YoloV4Tiny(num_classes=3)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    path = str(tmp_path / "dyn.stablehlo")
+    export_serving(model, variables, CFG, (None, 64, 64, 3), path)
+
+    plain = Engine(path, 64, "resize", ["a", "b", "c"])
+    batched = Engine(path, 64, "resize", ["a", "b", "c"],
+                     max_batch=4, window_ms=30.0)
+    assert batched.info()["micro_batch"] == 4
+
+    rng = np.random.default_rng(1)
+    bodies = [cv2.imencode(".png", rng.integers(0, 255, (80, 90, 3))
+                           .astype(np.uint8))[1].tobytes()
+              for _ in range(6)]
+    want = [plain.predict(b) for b in bodies]
+
+    got = [None] * len(bodies)
+
+    def hit(i):
+        got[i] = batched.predict(bodies[i])
+
+    threads = [threading.Thread(target=hit, args=(i,))
+               for i in range(len(bodies))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert got == want
+
+    # a fixed-batch-1 artifact cannot micro-batch: clear error
+    fixed = str(tmp_path / "b1.stablehlo")
+    export_serving(model, variables, CFG, (1, 64, 64, 3), fixed)
+    with pytest.raises(ValueError, match="symbolic-batch"):
+        Engine(fixed, 64, "resize", [], max_batch=4)

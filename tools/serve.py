@@ -12,8 +12,16 @@ can be exercised from anywhere that can POST an image:
 
 Responses are JSON rows with boxes in BOTH the network's input pixels and
 the original image's pixels (the inverse of the chosen preprocessing).
-``GET /`` returns the artifact metadata. Batch-1 per request; symbolic-batch
-artifacts (``--batch dyn``) work as-is.
+``GET /`` returns the artifact metadata.
+
+``--max-batch N`` (with ``--window-ms``) turns on micro-batching — the
+TPU-idiomatic way to serve concurrent load: requests arriving within the
+window share ONE padded, fixed-shape device dispatch and ride the MXU's
+batch dimension instead of queueing sequential batch-1 calls (on-chip,
+batch-64 eval costs ~54 ms vs 64 serial batch-1 calls at ~8 ms each).
+Every dispatch is padded to exactly N so XLA compiles one shape; use a
+symbolic-batch artifact (``export_model.py --batch dyn``) or one exported
+at batch N. Default is the old behavior: batch-1 per request.
 """
 
 from __future__ import annotations
@@ -24,6 +32,7 @@ import json
 import os
 import sys
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import cv2
@@ -36,12 +45,73 @@ from podtpu.data.augment import letterbox  # noqa: E402
 from podtpu.utils.viz import load_names  # noqa: E402
 
 
+class MicroBatcher:
+    """Coalesce concurrent single-image requests into one device dispatch.
+
+    A single worker thread collects submissions; a batch launches when
+    ``batch`` rows are pending or ``window_ms`` has passed since the first
+    arrival, padded with zero rows to exactly ``batch`` so the compiled
+    graph has one static shape. Results fan back out through per-request
+    events. Padding rows cost device FLOPs but never a recompile — the
+    right trade on TPU, where a second compiled shape costs seconds and
+    batch FLOPs are nearly free until the MXU saturates.
+    """
+
+    def __init__(self, run, batch: int, window_ms: float):
+        self.run = run  # [batch, H, W, 3] float32 -> (dets, valid)
+        self.batch = batch
+        self.window = window_ms / 1000.0
+        self._cv = threading.Condition()
+        self._pending: list[list] = []  # [x_row, result, event]
+        threading.Thread(target=self._loop, daemon=True).start()
+
+    def submit(self, x_row: np.ndarray):
+        slot = [x_row, None, threading.Event()]
+        with self._cv:
+            self._pending.append(slot)
+            self._cv.notify()
+        slot[2].wait()
+        if isinstance(slot[1], Exception):
+            raise slot[1]
+        return slot[1]
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._pending:
+                    self._cv.wait()
+                deadline = time.monotonic() + self.window
+                while len(self._pending) < self.batch:
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        break
+                    self._cv.wait(timeout=left)
+                todo = self._pending[: self.batch]
+                self._pending = self._pending[self.batch:]
+            try:
+                x = np.stack([s[0] for s in todo])
+                if len(todo) < self.batch:
+                    x = np.concatenate(
+                        [x, np.zeros((self.batch - len(todo),) + x.shape[1:],
+                                     x.dtype)])
+                dets, valid = self.run(x)
+                dets, valid = np.asarray(dets), np.asarray(valid)
+                for i, s in enumerate(todo):
+                    s[1] = (dets[i], valid[i])
+            except Exception as e:  # fan the failure out to every waiter
+                for s in todo:
+                    s[1] = e
+            for s in todo:
+                s[2].set()
+
+
 class Engine:
     """Artifact + preprocessing, shared across request threads (the jitted
     call is thread-safe; a lock serializes TFLite's stateful interpreter)."""
 
     def __init__(self, artifact: str, size: int, preprocess: str,
-                 names: list[str]):
+                 names: list[str], max_batch: int = 1,
+                 window_ms: float = 5.0):
         # imported after setup_platform so --platform cpu takes effect
         from podtpu.export.runner import artifact_runner
 
@@ -54,6 +124,19 @@ class Engine:
         # interpreter needs serializing
         self._lock = (threading.Lock() if artifact.endswith(".tflite")
                       else contextlib.nullcontext())
+        self.batcher = None
+        if max_batch > 1:
+            if self.batch not in (None, max_batch):
+                raise ValueError(
+                    f"--max-batch {max_batch} needs a symbolic-batch artifact "
+                    f"(--batch dyn) or one exported at batch {max_batch}; "
+                    f"this artifact is fixed at batch {self.batch}")
+
+            def run_locked(x):
+                with self._lock:
+                    return self.run(x)
+
+            self.batcher = MicroBatcher(run_locked, max_batch, window_ms)
 
     def _prep(self, im: np.ndarray):
         h0, w0 = im.shape[:2]
@@ -82,13 +165,17 @@ class Engine:
         from podtpu.export.runner import prepare_input
 
         x = prepare_input(im[None].astype(np.uint8))
-        if self.batch not in (None, 1):  # fixed-batch artifact: pad to B
-            x = np.concatenate(
-                [x, np.zeros((self.batch - 1,) + x.shape[1:], x.dtype)])
-        with self._lock:
-            dets, valid = self.run(x)
+        if self.batcher is not None:
+            det0, valid0 = self.batcher.submit(x[0])
+        else:
+            if self.batch not in (None, 1):  # fixed-batch artifact: pad to B
+                x = np.concatenate(
+                    [x, np.zeros((self.batch - 1,) + x.shape[1:], x.dtype)])
+            with self._lock:
+                dets, valid = self.run(x)
+            det0, valid0 = np.asarray(dets)[0], np.asarray(valid)[0]
         rows = []
-        for cx, cy, w, h, conf, cls in np.asarray(dets[0])[np.asarray(valid[0])]:
+        for cx, cy, w, h, conf, cls in det0[valid0]:
             ox, oy, ow, oh = inv(cx, cy, w, h)
             cls = int(cls)
             rows.append({
@@ -107,6 +194,7 @@ class Engine:
         return {"artifact": self.artifact, "input_size": self.size,
                 "preprocess": self.preprocess,
                 "batch": self.batch or "dynamic",
+                "micro_batch": (self.batcher.batch if self.batcher else 1),
                 "num_classes": len(self.names) or None}
 
 
@@ -154,11 +242,17 @@ def main():
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--platform", default=None,
                     help="cpu|tpu (default: environment backend)")
+    ap.add_argument("--max-batch", type=int, default=1,
+                    help="micro-batching: coalesce up to N concurrent "
+                         "requests into one padded device dispatch")
+    ap.add_argument("--window-ms", type=float, default=5.0,
+                    help="micro-batching window after the first arrival")
     args = ap.parse_args()
     setup_platform(args.platform)
 
     names = load_names(args.names) if args.names else []
-    engine = Engine(args.artifact, args.size, args.preprocess, names)
+    engine = Engine(args.artifact, args.size, args.preprocess, names,
+                    max_batch=args.max_batch, window_ms=args.window_ms)
     # compile/warm once so the first request isn't a 30s surprise
     engine.predict(cv2.imencode(
         ".jpg", np.zeros((args.size, args.size, 3), np.uint8))[1].tobytes())
