@@ -55,6 +55,10 @@ def main():
                     help="reference torch .pt / lightning .ckpt to import")
     ap.add_argument("--to-torch", type=str, default=None,
                     help="write a reference-layout torch .pt to this path")
+    ap.add_argument("--use-ema", action="store_true",
+                    help="convert the checkpoint's EMA shadow weights — the "
+                         "strip_optimizer `model = ema` step "
+                         "(reference utils/general.py:735-744)")
     ap.add_argument("--out", type=str, default="pretrained_weights.npz")
     ap.add_argument("--platform", type=str, default=None,
                     help="pin JAX backend (e.g. cpu) for local runs")
@@ -73,11 +77,14 @@ def main():
 
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     if args.ckpt.endswith(".npz"):
+        if args.use_ema:
+            raise SystemExit("--use-ema reads an orbax train-state "
+                             "checkpoint (npz files are already weights-only)")
         from podtpu.export.weights import load_npz_weights
 
         state = load_npz_weights(state, args.ckpt, allow_partial=True)
     else:
-        state = restore_weights(args.ckpt, state)
+        state = restore_weights(args.ckpt, state, use_ema=args.use_ema)
 
     if args.to_torch:
         import torch

@@ -36,7 +36,7 @@ from podtpu.config import get_configs, setup_platform
 from podtpu.export.stablehlo import export_stablehlo, inspect_exported
 from podtpu.models import build_model
 from podtpu.train.state import create_train_state
-from podtpu.train.trainer import restore_weights
+from podtpu.train.trainer import restore_eval_weights
 
 
 def _calibration_batches(cfg: dict, shape, n: int):
@@ -71,6 +71,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cfg", required=True, type=str)
     ap.add_argument("--ckpt", type=str, default=None)
+    ap.add_argument("--use-ema", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="export the checkpoint's EMA shadow weights "
+                         "(default: auto — EMA when the config's ema.eval "
+                         "is on, so the artifact matches test.py)")
     ap.add_argument("--out", type=str, default="model.stablehlo")
     ap.add_argument("--batch", type=str, default="1",
                     help="batch size; 'dyn' exports a symbolic batch "
@@ -115,7 +120,8 @@ def main():
     cfg = get_configs(args.cfg)
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     if args.ckpt:
-        state = restore_weights(args.ckpt, state)
+        state = restore_eval_weights(args.ckpt, state, cfg,
+                                     use_ema=args.use_ema)
     model = build_model(cfg)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     if args.fold_bn:

@@ -16,7 +16,7 @@ import numpy as np
 
 from podtpu.config import get_configs, setup_platform
 from podtpu.data import Loader, build_datasets
-from podtpu.train.trainer import Trainer, restore_weights
+from podtpu.train.trainer import Trainer, restore_eval_weights
 from podtpu.utils.viz import annots_to_boxes, draw_boxes, load_names
 
 
@@ -39,7 +39,7 @@ def inference(cfg: dict, ckpt: str | None, out_dir: str | None,
     else:
         trainer = Trainer(cfg, use_mesh=False, eval_only=True)
         if ckpt:
-            trainer.state = restore_weights(ckpt, trainer.state)
+            trainer.state = restore_eval_weights(ckpt, trainer.state, cfg)
     names = load_names(cfg["names"]) if cfg.get("names") and \
         os.path.exists(cfg["names"]) else [str(i) for i in range(cfg["num_classes"])]
     if out_dir:

@@ -14,7 +14,7 @@ import numpy as np
 
 from podtpu.config import get_configs, setup_platform
 from podtpu.data import Loader, build_datasets
-from podtpu.train.trainer import Trainer, restore_weights
+from podtpu.train.trainer import Trainer, restore_eval_weights
 from podtpu.utils.viz import load_names
 
 
@@ -36,7 +36,7 @@ def make_pred_files(cfg: dict, ckpt: str | None, out_dir: str,
     else:
         trainer = Trainer(cfg, use_mesh=False, eval_only=True)
         if ckpt:
-            trainer.state = restore_weights(ckpt, trainer.state)
+            trainer.state = restore_eval_weights(ckpt, trainer.state, cfg)
     names = load_names(cfg["names"]) if cfg.get("names") and \
         os.path.exists(cfg["names"]) else [str(i) for i in range(cfg["num_classes"])]
     os.makedirs(out_dir, exist_ok=True)

@@ -15,7 +15,7 @@ import cv2
 import numpy as np
 
 from podtpu.config import get_configs, setup_platform
-from podtpu.train.trainer import Trainer, restore_weights
+from podtpu.train.trainer import Trainer, restore_eval_weights
 from podtpu.utils.viz import draw_boxes, load_names
 
 
@@ -43,7 +43,7 @@ def run(cfg: dict, ckpt: str | None, input_path: str, output_path: str,
     else:
         trainer = Trainer(cfg, use_mesh=False, eval_only=True)
         if ckpt:
-            trainer.state = restore_weights(ckpt, trainer.state)
+            trainer.state = restore_eval_weights(ckpt, trainer.state, cfg)
     names = load_names(cfg["names"]) if cfg.get("names") and \
         os.path.exists(cfg["names"]) else [str(i) for i in range(cfg["num_classes"])]
     size = cfg["input_size"]

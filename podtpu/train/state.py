@@ -20,6 +20,31 @@ from podtpu.train.optim import build_optimizer
 
 class TrainState(train_state.TrainState):
     batch_stats: core.FrozenDict[str, Any] = struct.field(pytree_node=True)
+    # Optional EMA shadow of {params, batch_stats} (cfg ``ema``); ``None``
+    # when disabled, so the pytree structure (and checkpoints) only carry
+    # it when the feature is on.
+    ema: Any = struct.field(pytree_node=True, default=None)
+
+
+def ema_options(cfg: dict) -> dict | None:
+    """Parse cfg ``ema`` into ``{decay, tau, eval}`` (``None`` = disabled).
+
+    ``ema: true`` takes the YOLOv5 ModelEMA defaults (decay 0.9999 with the
+    ``decay * (1 - exp(-updates / 2000))`` warm-up ramp); a mapping overrides
+    ``decay``/``tau``/``eval``. ``eval: true`` (default) validates and
+    selects ``best`` with the EMA weights — the behavior the reference's
+    dormant ``strip_optimizer`` expects of checkpoints (utils/general.py:
+    735-744 replaces ``model`` with the ``ema`` entry when present).
+    """
+    e = cfg.get("ema")
+    if not e:
+        return None
+    e = dict(e) if isinstance(e, dict) else {}
+    return {
+        "decay": float(e.get("decay", 0.9999)),
+        "tau": float(e.get("tau", 2000.0)),
+        "eval": bool(e.get("eval", True)),
+    }
 
 
 def create_train_state(cfg: dict, rng: jax.Array) -> TrainState:
@@ -38,8 +63,15 @@ def create_train_state(cfg: dict, rng: jax.Array) -> TrainState:
     params = variables["params"]
     batch_stats = variables.get("batch_stats", core.FrozenDict())
     tx = build_optimizer(cfg, params)
+    ema = None
+    if ema_options(cfg) is not None:
+        # distinct buffers: params and their EMA shadow are both donated by
+        # the train step, so they must not alias at creation
+        ema = jax.tree_util.tree_map(
+            jax.numpy.copy, {"params": params, "batch_stats": batch_stats})
     state = TrainState.create(
-        apply_fn=model.apply, params=params, tx=tx, batch_stats=batch_stats
+        apply_fn=model.apply, params=params, tx=tx, batch_stats=batch_stats,
+        ema=ema,
     )
     pretrained = cfg.get("backbone_pretrained")
     if pretrained:

@@ -180,12 +180,16 @@ def make_train_step(cfg: dict, mesh=None, donate: bool = True,
     mesh has one (spatial partitioning)."""
     loss_fn = build_loss(cfg)
     from podtpu.data.device_aug import make_device_augment, separable_affine
+    from podtpu.train.optim import accum_steps
+    from podtpu.train.state import ema_options
 
     device_aug = make_device_augment(cfg)
     device_geom = bool(cfg.get("device_geom", False))
     policy = remat_policy(cfg)
     skip_nonfinite = int(dict(cfg.get("optimizer_options", {}))
                          .get("skip_nonfinite", 0) or 0) > 0
+    eopts = ema_options(cfg)
+    ema_accum = accum_steps(cfg)
 
     def train_step(state, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -235,6 +239,21 @@ def make_train_step(cfg: dict, mesh=None, donate: bool = True,
                 lambda new, old: jnp.where(ok, new, old),
                 new_stats, state.batch_stats)
         new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        if eopts is not None:
+            # YOLOv5 ModelEMA update: d ramps from 0 toward ``decay`` over
+            # ~tau optimizer updates (under gradient accumulation the
+            # optimizer advances once per ``ema_accum`` micro-steps, so the
+            # ramp counts those). The shadow tracks params AND the BN
+            # running statistics — torch's ModelEMA decays every float in
+            # the state_dict, buffers included.
+            updates_n = (new_state.step // ema_accum).astype(jnp.float32)
+            d = eopts["decay"] * (1.0 - jnp.exp(-updates_n / eopts["tau"]))
+            src = {"params": new_state.params,
+                   "batch_stats": new_state.batch_stats}
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                state.ema, src)
+            new_state = new_state.replace(ema=new_ema)
         metrics = {"loss": loss}
         return new_state, metrics
 

@@ -145,6 +145,8 @@ class CheckpointIO:
             "opt_state": state.opt_state,
             "step": state.step,
         }
+        if state.ema is not None:
+            payload["ema"] = state.ema
         staged = name in ("last", "best", "swa")
         ckptr = self._ckptr_for(name)
         # a still-pending previous save of this target must finish before
@@ -188,7 +190,11 @@ class CheckpointIO:
                           ignore_errors=True)
 
     def restore(self, path: str, state: TrainState) -> TrainState:
-        """Restore arrays from ``path`` into the (freshly created) state."""
+        """Restore arrays from ``path`` into the (freshly created) state.
+
+        An ``ema``-enabled state restoring a pre-EMA checkpoint keeps its
+        fresh EMA shadow (resume-with-newly-enabled-EMA just starts the
+        average from the restored weights on the first step)."""
         self.wait()
         template = {
             "params": state.params,
@@ -196,18 +202,33 @@ class CheckpointIO:
             "opt_state": state.opt_state,
             "step": state.step,
         }
-        payload = self._ckptr_for("restore").restore(
-            self._resolve(os.path.abspath(path)), template)
+        if state.ema is not None:
+            template["ema"] = state.ema
+        resolved = self._resolve(os.path.abspath(path))
+        try:
+            payload = self._ckptr_for("restore").restore(resolved, template)
+        except BaseException:
+            if "ema" not in template:
+                raise
+            template.pop("ema")
+            payload = self._ckptr_for("restore").restore(resolved, template)
         return state.replace(
             params=payload["params"],
             batch_stats=payload["batch_stats"],
             opt_state=payload["opt_state"],
             step=payload["step"],
+            ema=payload.get("ema", state.ema),
         )
 
 
-def restore_weights(path: str, state: TrainState) -> TrainState:
-    """Weights-only restore (params + batch_stats) for eval/inference."""
+def restore_weights(path: str, state: TrainState,
+                    use_ema: bool = False) -> TrainState:
+    """Weights-only restore (params + batch_stats) for eval/inference.
+
+    ``use_ema=True`` loads the checkpoint's EMA shadow as the weights —
+    the reference ``strip_optimizer``'s ``x['model'] = x['ema']`` step
+    (utils/general.py:735-744). The checkpoint must have been trained with
+    cfg ``ema``."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
@@ -217,11 +238,52 @@ def restore_weights(path: str, state: TrainState) -> TrainState:
         "opt_state": state.opt_state,
         "step": state.step,
     }
-    payload = ckptr.restore(
-        CheckpointIO._resolve(os.path.abspath(path)), template)
+    shadow = {"params": state.params, "batch_stats": state.batch_stats}
+    if state.ema is not None or use_ema:
+        template["ema"] = state.ema if state.ema is not None else shadow
+    resolved = CheckpointIO._resolve(os.path.abspath(path))
+    try:
+        payload = ckptr.restore(resolved, template)
+    except BaseException:
+        if "ema" not in template:
+            raise
+        if use_ema:
+            raise ValueError(
+                f"--use-ema: checkpoint {path} carries no EMA shadow "
+                "(was it trained with cfg `ema`?)") from None
+        template.pop("ema")
+        payload = ckptr.restore(resolved, template)
+    src = payload["ema"] if use_ema else payload
+    # weights-only semantics: the returned state carries ONLY the chosen
+    # weights — dropping the (stale, freshly-initialized) shadow also stops
+    # Trainer._eval_state from re-swapping it over the restored weights
     return state.replace(
-        params=payload["params"], batch_stats=payload["batch_stats"]
+        params=src["params"], batch_stats=src["batch_stats"], ema=None
     )
+
+
+def restore_eval_weights(path: str, state: TrainState, cfg: dict,
+                         use_ema: bool | None = None) -> TrainState:
+    """CLI-facing restore: pick the weights evaluation should see.
+
+    ``use_ema=None`` (auto) mirrors the Trainer: when cfg ``ema.eval`` is
+    on (the default for ``ema``-enabled configs), the EMA shadow is what
+    validation scored and ``best`` was selected on, so eval/inference CLIs
+    load it too — ``test.py --ckpt best`` then reproduces the logged val
+    numbers. Auto falls back to the raw weights when the checkpoint
+    predates EMA; an explicit ``use_ema=True`` fails instead."""
+    auto = use_ema is None
+    if auto:
+        from podtpu.train.state import ema_options
+
+        eo = ema_options(cfg)
+        use_ema = bool(eo and eo["eval"] and state.ema is not None)
+    try:
+        return restore_weights(path, state, use_ema=use_ema)
+    except ValueError:
+        if not auto:
+            raise
+        return restore_weights(path, state, use_ema=False)
 
 
 class Trainer:
@@ -246,14 +308,24 @@ class Trainer:
             self.state = jax.device_put(self.state, self.state_shardings)
         self.train_step = make_train_step(
             cfg, self.mesh, state_shardings=self.state_shardings)
+        # eval runs on a shadow-less state (``_eval_state`` strips ``ema`` —
+        # restored eval states drop it too), so its sharding tree must not
+        # carry the shadow's subtree either
+        self.eval_shardings = (
+            None if self.state_shardings is None
+            else self.state_shardings.replace(ema=None))
         self.eval_step = make_eval_step(
-            cfg, self.mesh, state_shardings=self.state_shardings)
+            cfg, self.mesh, state_shardings=self.eval_shardings)
         self.schedule = build_schedule(cfg)
         # with gradient accumulation the optimizer advances its schedule
         # once per k micro-steps; log the lr actually applied
         from podtpu.train.optim import accum_steps
 
         self._accum = accum_steps(cfg)
+        from podtpu.train.state import ema_options
+
+        eopts = ema_options(cfg)
+        self._ema_eval = bool(eopts and eopts["eval"])
         self.map_metric = MeanAveragePrecision(
             cfg["num_classes"], cfg["input_size"]
         )
@@ -465,7 +537,7 @@ class Trainer:
         val_loader.set_epoch(0)
         batch = next(iter(val_loader))
         batch.pop("n_valid", None)
-        _, dets, valid = self.eval_step(self.state, self._put(batch))
+        _, dets, valid = self.eval_step(self._eval_state(), self._put(batch))
         dets = _local_rows(dets)
         valid = _local_rows(valid)
         imgs = np.asarray(batch["img"][:n_img])
@@ -500,7 +572,9 @@ class Trainer:
         from podtpu.train.steps import make_stats_step
 
         stats_step = make_stats_step(self.cfg, self.mesh,
-                                     state_shardings=self.state_shardings)
+                                     state_shardings=self.eval_shardings)
+        if state.ema is not None:
+            state = state.replace(ema=None)
         loader.set_epoch(0)
         acc = None
         n = 0
@@ -520,14 +594,26 @@ class Trainer:
             return state
         return state.replace(batch_stats=acc)
 
+    def _eval_state(self) -> TrainState:
+        """The state evaluation runs on: the EMA shadow's weights when cfg
+        ``ema.eval`` (YOLOv5-style — val/best-selection see the averaged
+        model), else the raw training weights."""
+        if self._ema_eval and self.state.ema is not None:
+            return self.state.replace(
+                params=self.state.ema["params"],
+                batch_stats=self.state.ema["batch_stats"], ema=None)
+        return (self.state if self.state.ema is None
+                else self.state.replace(ema=None))
+
     def validate(self, val_loader) -> dict:
         self.map_metric.reset_states()
         losses = []
         val_loader.set_epoch(0)
+        eval_state = self._eval_state()
         for batch in val_loader:
             n_valid = batch.pop("n_valid", batch["img"].shape[0])
             dev_batch = self._put(batch)
-            loss, dets, valid = self.eval_step(self.state, dev_batch)
+            loss, dets, valid = self.eval_step(eval_state, dev_batch)
             losses.append(float(loss))
             # a padded final batch repeats its last sample — slice them off
             self.map_metric.update_state(

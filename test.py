@@ -10,11 +10,12 @@ import argparse
 
 from podtpu.config import get_configs, setup_platform
 from podtpu.data import Loader, build_datasets
-from podtpu.train.trainer import Trainer, restore_weights
+from podtpu.train.trainer import Trainer, restore_eval_weights
 
 
 def evaluate(cfg: dict, ckpt: str | None, report_dir: str | None = None,
-             quantize: str | None = None, calib_batches: int = 4) -> dict:
+             quantize: str | None = None, calib_batches: int = 4,
+             use_ema: bool | None = None) -> dict:
     _, val_ds = build_datasets(cfg)
     val_loader = Loader(
         val_ds,
@@ -25,7 +26,8 @@ def evaluate(cfg: dict, ckpt: str | None, report_dir: str | None = None,
     )
     trainer = Trainer(cfg, eval_only=True)
     if ckpt:
-        trainer.state = restore_weights(ckpt, trainer.state)
+        trainer.state = restore_eval_weights(ckpt, trainer.state, cfg,
+                                             use_ema=use_ema)
     if quantize == "int8":
         # static PTQ eval: calibrate on val batches, rebuild the eval step
         # with the quant collection (ConvBnAct switches to int8 convs)
@@ -128,6 +130,11 @@ def main():
                     help="evaluate the int8-PTQ model (accuracy-delta check "
                          "for the quantized serving artifact)")
     ap.add_argument("--calib-batches", type=int, default=4)
+    ap.add_argument("--use-ema", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="evaluate the checkpoint's EMA shadow weights "
+                         "(default: auto — EMA when the config's ema.eval "
+                         "is on, matching how `best` was selected)")
     ap.add_argument("--platform", type=str, default=None,
                     help="pin JAX backend (e.g. cpu) for local runs")
     args = ap.parse_args()
@@ -139,7 +146,8 @@ def main():
         evaluate_artifact(get_configs(args.cfg), args.artifact, args.report)
         return
     evaluate(get_configs(args.cfg), args.ckpt, args.report,
-             quantize=args.quantize, calib_batches=args.calib_batches)
+             quantize=args.quantize, calib_batches=args.calib_batches,
+             use_ema=args.use_ema)
 
 
 if __name__ == "__main__":

@@ -19,7 +19,7 @@ import cv2
 import numpy as np
 
 from podtpu.config import get_configs, setup_platform
-from podtpu.train.trainer import Trainer, restore_weights
+from podtpu.train.trainer import Trainer, restore_eval_weights
 
 
 def coco_record(image_id, det, sx: float, sy: float) -> dict:
@@ -58,7 +58,7 @@ def run(cfg: dict, ckpt: str | None, ann_json: str, out_json: str,
     else:
         trainer = Trainer(cfg, use_mesh=False, eval_only=True)
         if ckpt:
-            trainer.state = restore_weights(ckpt, trainer.state)
+            trainer.state = restore_eval_weights(ckpt, trainer.state, cfg)
     size = cfg["input_size"]
 
     results = []
