@@ -413,6 +413,24 @@ class Trainer:
         bad_rounds = 0
         t_start = time.time()
 
+        # Preemption-safe training (cfg ``save_on_signal``, default on):
+        # SIGTERM — what TPU-VM maintenance events and cluster schedulers
+        # deliver — requests a graceful stop. The handler only sets a flag;
+        # the step loop notices it at the next step boundary, saves a
+        # durable ``last`` checkpoint, and returns normally, so
+        # ``train.py --resume <run>/checkpoints/last`` continues the run.
+        import signal
+        import threading
+
+        preempt = threading.Event()
+        prev_handler = None
+        if bool(cfg.get("save_on_signal", True)):
+            try:
+                prev_handler = signal.signal(
+                    signal.SIGTERM, lambda *_: preempt.set())
+            except ValueError:  # not the main thread — no handler, no flag
+                prev_handler = None
+
         # Lightning-style in-epoch progress line (opt-out: progress: false);
         # only when stdout is a tty so logs/CI stay clean
         progress = bool(cfg.get("progress", True)) and sys.stdout.isatty()
@@ -430,6 +448,8 @@ class Trainer:
                     self.state, batch, self.rng
                 )
                 losses.append(metrics["loss"])
+                if preempt.is_set():
+                    break
                 if progress and (i % 10 == 9 or i + 1 == steps_per_epoch):
                     # float() syncs on the ready-by-now previous loss only
                     rate = n_images / max(time.time() - t_epoch, 1e-9)
@@ -439,6 +459,12 @@ class Trainer:
                     sys.stdout.flush()
             if progress:
                 sys.stdout.write("\r\033[K")
+            if preempt.is_set():
+                self.ckpt.save("last", self.state)
+                self.log(f"SIGTERM: saved preemption checkpoint 'last' at "
+                         f"step {int(self.state.step)}; stopping "
+                         f"(resume with --resume .../checkpoints/last)")
+                break
             if not losses:
                 raise RuntimeError("empty train loader")
             train_loss = float(jnp.mean(jnp.stack(losses)))
@@ -511,6 +537,8 @@ class Trainer:
             if bad_rounds >= patience:
                 self.log(f"early stopping after {bad_rounds} stale rounds")
                 break
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
         if swa_params is not None:
             swa_state = self.state.replace(params=swa_params)
             # averaged weights shift every layer's activation distribution,

@@ -301,3 +301,42 @@ def test_prune_periodic_excludes_tmp_and_sorts_numerically(tmp_path):
     assert "epoch_9999" not in left and "epoch_0001" not in left
     assert "epoch_10000.orbax-checkpoint-tmp-123" in left  # in-flight safe
     assert {"last", "best"} <= left
+
+
+@pytest.mark.slow
+def test_sigterm_preemption_checkpoint(setup):
+    """SIGTERM mid-training (the TPU-VM maintenance / scheduler-preemption
+    signal) checkpoints `last` at the next step boundary and returns, so
+    --resume continues the run; the handler is restored afterwards."""
+    import signal
+    import threading
+
+    cfg = dict(setup)
+    cfg["save_dir"] = cfg["save_dir"] + "/preempt"
+    train_loader, val_loader = _loaders(cfg)
+    trainer = Trainer(cfg, log=lambda *_: None)
+
+    fired = threading.Event()
+
+    def fire_when_training():
+        # wait until at least one step has run, then deliver SIGTERM
+        while int(trainer.state.step) < 1:
+            fired.wait(0.2)
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    before = signal.getsignal(signal.SIGTERM)
+    t = threading.Thread(target=fire_when_training, daemon=True)
+    t.start()
+    history = trainer.fit(train_loader, val_loader, epochs=1000)
+    t.join(5)
+
+    assert len(history) < 1000  # stopped long before the horizon
+    ckpt_dir = os.path.join(trainer.run_dir, "checkpoints")
+    assert os.path.isdir(os.path.join(ckpt_dir, "last"))
+    # the preemption checkpoint resumes at the step it saved
+    trainer2 = Trainer(cfg, log=lambda *_: None)
+    trainer2.state = trainer2.ckpt.restore(
+        os.path.join(ckpt_dir, "last"), trainer2.state)
+    assert int(trainer2.state.step) == int(trainer.state.step) > 0
+    # fit restored the previous SIGTERM disposition on exit
+    assert signal.getsignal(signal.SIGTERM) == before
