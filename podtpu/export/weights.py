@@ -71,4 +71,11 @@ def load_npz_weights(state, path: str, allow_partial: bool = False):
     stats, miss_s = rebuild(state.batch_stats, "batch_stats" + SEP)
     if allow_partial and (miss_p or miss_s):
         print(f"partial load: {len(miss_p) + len(miss_s)} leaves kept at init")
-    return state.replace(params=params, batch_stats=stats)
+    state = state.replace(params=params, batch_stats=stats)
+    if getattr(state, "ema", None) is not None:
+        # an EMA-enabled state's shadow must not stay at the (random) init
+        # the loaded weights just replaced — reseed it from them
+        from podtpu.train.state import init_ema
+
+        state = init_ema(state)
+    return state

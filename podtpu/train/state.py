@@ -39,6 +39,9 @@ def ema_options(cfg: dict) -> dict | None:
     e = cfg.get("ema")
     if not e:
         return None
+    if isinstance(e, (int, float)) and not isinstance(e, bool):
+        # ``ema: 0.995`` reads naturally as the decay
+        e = {"decay": float(e)}
     e = dict(e) if isinstance(e, dict) else {}
     return {
         "decay": float(e.get("decay", 0.9999)),
@@ -63,22 +66,27 @@ def create_train_state(cfg: dict, rng: jax.Array) -> TrainState:
     params = variables["params"]
     batch_stats = variables.get("batch_stats", core.FrozenDict())
     tx = build_optimizer(cfg, params)
-    ema = None
-    if ema_options(cfg) is not None:
-        # distinct buffers: params and their EMA shadow are both donated by
-        # the train step, so they must not alias at creation
-        ema = jax.tree_util.tree_map(
-            jax.numpy.copy, {"params": params, "batch_stats": batch_stats})
     state = TrainState.create(
         apply_fn=model.apply, params=params, tx=tx, batch_stats=batch_stats,
-        ema=ema,
     )
     pretrained = cfg.get("backbone_pretrained")
     if pretrained:
         from podtpu.export.weights import load_npz_weights
 
         state = load_npz_weights(state, pretrained, allow_partial=True)
+    if ema_options(cfg) is not None:
+        # the shadow starts from the state's CURRENT weights (after any
+        # pretrained partial load); distinct buffers — params and shadow
+        # are both donated by the train step, so they must not alias
+        state = init_ema(state)
     return state
+
+
+def init_ema(state: TrainState) -> TrainState:
+    """(Re)seed the EMA shadow from the state's current weights."""
+    return state.replace(ema=jax.tree_util.tree_map(
+        jax.numpy.copy,
+        {"params": state.params, "batch_stats": state.batch_stats}))
 
 
 def param_count(params) -> int:

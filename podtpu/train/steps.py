@@ -248,6 +248,13 @@ def make_train_step(cfg: dict, mesh=None, donate: bool = True,
             # the state_dict, buffers included.
             updates_n = (new_state.step // ema_accum).astype(jnp.float32)
             d = eopts["decay"] * (1.0 - jnp.exp(-updates_n / eopts["tau"]))
+            if ema_accum > 1:
+                # blend once per OPTIMIZER update, not per micro-step:
+                # optax.MultiSteps applies the accumulated update on the
+                # k-th micro-step (step % k == 0, 1-based); in between,
+                # d=1 leaves the shadow untouched — k identical blends
+                # would compound retention to decay**k
+                d = jnp.where(new_state.step % ema_accum == 0, d, 1.0)
             src = {"params": new_state.params,
                    "batch_stats": new_state.batch_stats}
             new_ema = jax.tree_util.tree_map(

@@ -192,33 +192,72 @@ class CheckpointIO:
     def restore(self, path: str, state: TrainState) -> TrainState:
         """Restore arrays from ``path`` into the (freshly created) state.
 
-        An ``ema``-enabled state restoring a pre-EMA checkpoint keeps its
-        fresh EMA shadow (resume-with-newly-enabled-EMA just starts the
-        average from the restored weights on the first step)."""
+        An ``ema``-enabled state restoring a pre-EMA checkpoint reseeds its
+        shadow from the RESTORED weights (not the random init it was
+        created with) — resume-with-newly-enabled-EMA starts the average
+        from the restored model."""
         self.wait()
-        template = {
-            "params": state.params,
-            "batch_stats": state.batch_stats,
-            "opt_state": state.opt_state,
-            "step": state.step,
-        }
-        if state.ema is not None:
-            template["ema"] = state.ema
-        resolved = self._resolve(os.path.abspath(path))
-        try:
-            payload = self._ckptr_for("restore").restore(resolved, template)
-        except BaseException:
-            if "ema" not in template:
-                raise
-            template.pop("ema")
-            payload = self._ckptr_for("restore").restore(resolved, template)
-        return state.replace(
+        payload = _restore_payload(
+            self._ckptr_for("restore"),
+            self._resolve(os.path.abspath(path)), state,
+            with_ema=state.ema is not None)
+        new = state.replace(
             params=payload["params"],
             batch_stats=payload["batch_stats"],
             opt_state=payload["opt_state"],
             step=payload["step"],
-            ema=payload.get("ema", state.ema),
         )
+        if state.ema is not None:
+            from podtpu.train.state import init_ema
+
+            new = (new.replace(ema=payload["ema"]) if "ema" in payload
+                   else init_ema(new))
+        return new
+
+
+def _restore_payload(ckptr, resolved: str, state: TrainState,
+                     with_ema: bool, require_ema: bool = False) -> dict:
+    """Restore a train-state payload, tolerating checkpoints without the
+    optional ``ema`` entry.
+
+    ``with_ema`` first tries a template carrying the shadow subtree; if
+    that fails, a retry WITHOUT it distinguishes "the checkpoint merely
+    predates EMA" (fall back — or, with ``require_ema``, report the missing
+    shadow) from "the checkpoint is broken/mismatched" (re-raise the
+    original error)."""
+    template = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    shadow = {"params": state.params, "batch_stats": state.batch_stats}
+    if not with_ema:
+        try:
+            return ckptr.restore(resolved, template)
+        except Exception as err:
+            # symmetric fallback: an EMA-trained checkpoint restoring into
+            # a non-EMA config — retry with a shadow template and let the
+            # caller ignore the extra entry
+            template["ema"] = shadow
+            try:
+                return ckptr.restore(resolved, template)
+            except Exception:
+                raise err
+    template["ema"] = state.ema if state.ema is not None else shadow
+    try:
+        return ckptr.restore(resolved, template)
+    except Exception as err:
+        template.pop("ema")
+        try:
+            payload = ckptr.restore(resolved, template)
+        except Exception:
+            raise err  # broken either way — report the real cause
+        if require_ema:
+            raise ValueError(
+                f"--use-ema: checkpoint {resolved} carries no EMA shadow "
+                "(was it trained with cfg `ema`?)") from None
+        return payload
 
 
 def restore_weights(path: str, state: TrainState,
@@ -231,28 +270,10 @@ def restore_weights(path: str, state: TrainState,
     cfg ``ema``."""
     import orbax.checkpoint as ocp
 
-    ckptr = ocp.StandardCheckpointer()
-    template = {
-        "params": state.params,
-        "batch_stats": state.batch_stats,
-        "opt_state": state.opt_state,
-        "step": state.step,
-    }
-    shadow = {"params": state.params, "batch_stats": state.batch_stats}
-    if state.ema is not None or use_ema:
-        template["ema"] = state.ema if state.ema is not None else shadow
-    resolved = CheckpointIO._resolve(os.path.abspath(path))
-    try:
-        payload = ckptr.restore(resolved, template)
-    except BaseException:
-        if "ema" not in template:
-            raise
-        if use_ema:
-            raise ValueError(
-                f"--use-ema: checkpoint {path} carries no EMA shadow "
-                "(was it trained with cfg `ema`?)") from None
-        template.pop("ema")
-        payload = ckptr.restore(resolved, template)
+    payload = _restore_payload(
+        ocp.StandardCheckpointer(),
+        CheckpointIO._resolve(os.path.abspath(path)), state,
+        with_ema=state.ema is not None or use_ema, require_ema=use_ema)
     src = payload["ema"] if use_ema else payload
     # weights-only semantics: the returned state carries ONLY the chosen
     # weights — dropping the (stale, freshly-initialized) shadow also stops
@@ -393,7 +414,8 @@ class Trainer:
             return shard_batch(batch, self.mesh)
         return jax.tree_util.tree_map(jnp.asarray, batch)
 
-    def fit(self, train_loader, val_loader, epochs: int | None = None):
+    def fit(self, train_loader, val_loader, epochs: int | None = None,
+            start_epoch: int = 0):
         cfg = self.cfg
         epochs = epochs if epochs is not None else cfg["epochs"]
         val_every = int(cfg.get("trainer_options", {}).get(
@@ -423,122 +445,127 @@ class Trainer:
         import threading
 
         preempt = threading.Event()
-        prev_handler = None
+        prev_handler, installed = None, False
         if bool(cfg.get("save_on_signal", True)):
             try:
                 prev_handler = signal.signal(
                     signal.SIGTERM, lambda *_: preempt.set())
-            except ValueError:  # not the main thread — no handler, no flag
-                prev_handler = None
-
+                installed = True
+            except ValueError:  # not the main thread - no handler, no flag
+                pass
         # Lightning-style in-epoch progress line (opt-out: progress: false);
         # only when stdout is a tty so logs/CI stay clean
         progress = bool(cfg.get("progress", True)) and sys.stdout.isatty()
         steps_per_epoch = len(train_loader)
 
-        for epoch in range(epochs):
-            train_loader.set_epoch(epoch)
-            losses = []
-            t_epoch = time.time()
-            n_images = 0
-            for i, batch in enumerate(train_loader):
-                n_images += batch.pop("n_valid", batch["img"].shape[0])
-                batch = self._put(batch)
-                self.state, metrics = self.train_step(
-                    self.state, batch, self.rng
-                )
-                losses.append(metrics["loss"])
+        try:
+            for epoch in range(start_epoch, epochs):
+                train_loader.set_epoch(epoch)
+                losses = []
+                t_epoch = time.time()
+                n_images = 0
+                for i, batch in enumerate(train_loader):
+                    n_images += batch.pop("n_valid", batch["img"].shape[0])
+                    batch = self._put(batch)
+                    self.state, metrics = self.train_step(
+                        self.state, batch, self.rng
+                    )
+                    losses.append(metrics["loss"])
+                    if preempt.is_set():
+                        break
+                    if progress and (i % 10 == 9 or i + 1 == steps_per_epoch):
+                        # float() syncs on the ready-by-now previous loss only
+                        rate = n_images / max(time.time() - t_epoch, 1e-9)
+                        sys.stdout.write(
+                            f"\repoch {epoch}: {i + 1}/{steps_per_epoch} "
+                            f"loss={float(losses[-1]):.4g} {rate:.1f} img/s   ")
+                        sys.stdout.flush()
+                if progress:
+                    sys.stdout.write("\r\033[K")
                 if preempt.is_set():
+                    self.ckpt.save("last", self.state)
+                    self.log(f"SIGTERM: saved preemption checkpoint 'last' at "
+                             f"step {int(self.state.step)}; stopping "
+                             f"(resume with --resume .../checkpoints/last)")
                     break
-                if progress and (i % 10 == 9 or i + 1 == steps_per_epoch):
-                    # float() syncs on the ready-by-now previous loss only
-                    rate = n_images / max(time.time() - t_epoch, 1e-9)
-                    sys.stdout.write(
-                        f"\repoch {epoch}: {i + 1}/{steps_per_epoch} "
-                        f"loss={float(losses[-1]):.4g} {rate:.1f} img/s   ")
-                    sys.stdout.flush()
-            if progress:
-                sys.stdout.write("\r\033[K")
-            if preempt.is_set():
-                self.ckpt.save("last", self.state)
-                self.log(f"SIGTERM: saved preemption checkpoint 'last' at "
-                         f"step {int(self.state.step)}; stopping "
-                         f"(resume with --resume .../checkpoints/last)")
-                break
-            if not losses:
-                raise RuntimeError("empty train loader")
-            train_loss = float(jnp.mean(jnp.stack(losses)))
-            step = int(self.state.step)
-            lr = float(self.schedule(step // self._accum))
-            dt = time.time() - t_epoch
-            ips = n_images / dt if dt > 0 else 0.0
-            self.writer.add_scalar("train_loss", train_loss, step)
-            self.writer.add_scalar("lr", lr, step)
-            self.writer.add_scalar("images_per_sec", ips, step)
-            row = {"epoch": epoch, "step": step, "train_loss": train_loss,
-                   "lr": lr, "images_per_sec": ips}
-            skipped = total_notfinite(self.state.opt_state)
-            if skipped is not None:
-                self.writer.add_scalar("skipped_nonfinite_updates", skipped,
-                                       step)
-                row["skipped_updates"] = skipped
-                if skipped:
-                    self.log(f"WARNING: {skipped} non-finite update(s) "
-                             "dropped so far (optimizer_options."
-                             "skip_nonfinite guard)")
-
-            if (epoch + 1) % val_every == 0:
-                val = self.validate(val_loader)
-                row.update(val)
-                n_img = int(cfg.get("log_images", 0))
-                if n_img:
-                    self._log_val_images(val_loader, n_img, step)
-                self.writer.add_scalar("val_loss", val["val_loss"], step)
-                self.writer.add_scalar("val_mAP", val["val_mAP"], step)
-                # per-class AP scalars (ROADMAP polish: AP breakdown in TB);
-                # result_per_class rows are [AP, TP, FP, FN]
-                for name, row_c in zip(self._class_names(),
-                                       self.map_metric.result_per_class()):
-                    self.writer.add_scalar(f"val_AP/{name}", float(row_c[0]),
+                if not losses:
+                    raise RuntimeError("empty train loader")
+                train_loss = float(jnp.mean(jnp.stack(losses)))
+                step = int(self.state.step)
+                lr = float(self.schedule(step // self._accum))
+                dt = time.time() - t_epoch
+                ips = n_images / dt if dt > 0 else 0.0
+                self.writer.add_scalar("train_loss", train_loss, step)
+                self.writer.add_scalar("lr", lr, step)
+                self.writer.add_scalar("images_per_sec", ips, step)
+                row = {"epoch": epoch, "step": step, "train_loss": train_loss,
+                       "lr": lr, "images_per_sec": ips}
+                skipped = total_notfinite(self.state.opt_state)
+                if skipped is not None:
+                    self.writer.add_scalar("skipped_nonfinite_updates", skipped,
                                            step)
-                if val["val_loss"] < best_val:
-                    best_val = val["val_loss"]
-                    bad_rounds = 0
-                    self.ckpt.save("best", self.state)
-                else:
-                    bad_rounds += 1
+                    row["skipped_updates"] = skipped
+                    if skipped:
+                        self.log(f"WARNING: {skipped} non-finite update(s) "
+                                 "dropped so far (optimizer_options."
+                                 "skip_nonfinite guard)")
 
-            if swa_start >= 0 and epoch >= swa_start:
-                swa_count += 1
-                if swa_params is None:
-                    # copy: the donated train step would invalidate aliased
-                    # buffers on the next epoch
-                    swa_params = jax.tree_util.tree_map(
-                        jnp.copy, self.state.params
+                if (epoch + 1) % val_every == 0:
+                    val = self.validate(val_loader)
+                    row.update(val)
+                    n_img = int(cfg.get("log_images", 0))
+                    if n_img:
+                        self._log_val_images(val_loader, n_img, step)
+                    self.writer.add_scalar("val_loss", val["val_loss"], step)
+                    self.writer.add_scalar("val_mAP", val["val_mAP"], step)
+                    # per-class AP scalars (ROADMAP polish: AP breakdown in TB);
+                    # result_per_class rows are [AP, TP, FP, FN]
+                    for name, row_c in zip(self._class_names(),
+                                           self.map_metric.result_per_class()):
+                        self.writer.add_scalar(f"val_AP/{name}", float(row_c[0]),
+                                               step)
+                    if val["val_loss"] < best_val:
+                        best_val = val["val_loss"]
+                        bad_rounds = 0
+                        self.ckpt.save("best", self.state)
+                    else:
+                        bad_rounds += 1
+
+                if swa_start >= 0 and epoch >= swa_start:
+                    swa_count += 1
+                    if swa_params is None:
+                        # copy: the donated train step would invalidate aliased
+                        # buffers on the next epoch
+                        swa_params = jax.tree_util.tree_map(
+                            jnp.copy, self.state.params
+                        )
+                    else:
+                        w = 1.0 / swa_count
+                        swa_params = jax.tree_util.tree_map(
+                            lambda avg, p: avg + (p - avg) * w,
+                            swa_params, self.state.params,
+                        )
+
+                self.ckpt.save("last", self.state)
+                if (epoch + 1) % save_freq == 0:
+                    self.ckpt.save(f"epoch_{epoch:04d}", self.state)
+                    self.ckpt.prune_periodic(int(cfg.get("keep_checkpoints", 0)))
+
+                self.history.append(row)
+                self.log(
+                    f"epoch {epoch}: " + " ".join(
+                        f"{k}={v:.5g}" for k, v in row.items() if k != "epoch"
                     )
-                else:
-                    w = 1.0 / swa_count
-                    swa_params = jax.tree_util.tree_map(
-                        lambda avg, p: avg + (p - avg) * w,
-                        swa_params, self.state.params,
-                    )
-
-            self.ckpt.save("last", self.state)
-            if (epoch + 1) % save_freq == 0:
-                self.ckpt.save(f"epoch_{epoch:04d}", self.state)
-                self.ckpt.prune_periodic(int(cfg.get("keep_checkpoints", 0)))
-
-            self.history.append(row)
-            self.log(
-                f"epoch {epoch}: " + " ".join(
-                    f"{k}={v:.5g}" for k, v in row.items() if k != "epoch"
                 )
-            )
-            if bad_rounds >= patience:
-                self.log(f"early stopping after {bad_rounds} stale rounds")
-                break
-        if prev_handler is not None:
-            signal.signal(signal.SIGTERM, prev_handler)
+                if bad_rounds >= patience:
+                    self.log(f"early stopping after {bad_rounds} stale rounds")
+                    break
+        finally:
+            if installed:
+                signal.signal(
+                    signal.SIGTERM,
+                    prev_handler if prev_handler is not None
+                    else signal.SIG_DFL)
         if swa_params is not None:
             swa_state = self.state.replace(params=swa_params)
             # averaged weights shift every layer's activation distribution,

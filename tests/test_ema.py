@@ -38,6 +38,9 @@ def test_ema_options_parsing():
     assert d == {"decay": 0.9999, "tau": 2000.0, "eval": True}
     d = ema_options({"ema": {"decay": 0.95, "eval": False}})
     assert d == {"decay": 0.95, "tau": 2000.0, "eval": False}
+    # a bare number reads as the decay (ema: 0.995)
+    d = ema_options({"ema": 0.995})
+    assert d == {"decay": 0.995, "tau": 2000.0, "eval": True}
 
 
 @pytest.mark.slow
@@ -151,7 +154,12 @@ def test_pre_ema_checkpoint_restores_into_ema_config(tmp_path):
     np.testing.assert_array_equal(
         list(_flat(restored.params).values())[0],
         list(_flat(plain.params).values())[0])
-    assert restored.ema is not None  # fresh shadow kept
+    # the shadow reseeds from the RESTORED weights (not the random init —
+    # the warmed decay ramp would otherwise keep scoring near-init weights)
+    assert restored.ema is not None
+    np.testing.assert_array_equal(
+        list(_flat(restored.ema["params"]).values())[0],
+        list(_flat(plain.params).values())[0])
 
     # auto eval restore: falls back to the raw weights
     got = restore_eval_weights(str(tmp_path / "last"), ema_state, EMA_CFG)
@@ -180,3 +188,67 @@ def test_trainer_eval_state_uses_shadow():
     es2 = tr2._eval_state()
     assert es2.params is tr2.state.params  # raw weights when eval: false
     assert es2.ema is None
+
+
+def test_ema_checkpoint_restores_into_plain_config(tmp_path):
+    """The reverse direction: an EMA-trained checkpoint evaluated/resumed
+    under a config WITHOUT ema — the shadow entry is tolerated and
+    dropped."""
+    ema_state = create_train_state(EMA_CFG, jax.random.PRNGKey(0))
+    io = CheckpointIO(str(tmp_path))
+    io.save("last", ema_state)
+    io.wait()
+
+    plain = create_train_state(TINY_CFG, jax.random.PRNGKey(1))
+    got = restore_weights(str(tmp_path / "last"), plain)
+    np.testing.assert_array_equal(
+        list(_flat(got.params).values())[0],
+        list(_flat(ema_state.params).values())[0])
+    assert got.ema is None
+
+    resumed = io.restore(str(tmp_path / "last"), plain)
+    assert resumed.ema is None
+    np.testing.assert_array_equal(
+        list(_flat(resumed.params).values())[0],
+        list(_flat(ema_state.params).values())[0])
+
+
+def test_npz_load_reseeds_shadow(tmp_path):
+    """Loading npz weights into an EMA-enabled state reseeds the shadow from
+    the loaded weights (convert_checkpoint npz->orbax, backbone_pretrained)."""
+    from podtpu.export.weights import load_npz_weights, save_npz_weights
+
+    src = create_train_state(TINY_CFG, jax.random.PRNGKey(7))
+    npz = str(tmp_path / "w.npz")
+    save_npz_weights(src, npz)
+
+    dst = create_train_state(EMA_CFG, jax.random.PRNGKey(8))
+    dst = load_npz_weights(dst, npz)
+    np.testing.assert_array_equal(
+        list(_flat(dst.ema["params"]).values())[0],
+        list(_flat(src.params).values())[0])
+
+
+@pytest.mark.slow
+def test_ema_blends_once_per_optimizer_update_under_accum():
+    """With gradient accumulation the shadow blends once per OPTIMIZER
+    update (k micro-steps), not k times — k identical blends would compound
+    retention to decay**k vs ModelEMA's single update per optimizer.step()."""
+    decay, tau, k = 0.9, 8.0, 2
+    cfg = {**TINY_CFG, "ema": {"decay": decay, "tau": tau},
+           "optimizer_options": {**TINY_CFG["optimizer_options"],
+                                 "accum_steps": k}}
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, donate=False)
+    shadow = _flat(state.ema["params"])
+    rng = jax.random.PRNGKey(1)
+    for u in range(1, 3):  # two optimizer updates = four micro-steps
+        for m in range(k):
+            state, _ = step(state, tiny_batch(seed=u * k + m), rng)
+        d = decay * (1.0 - np.exp(-u / tau))
+        src = _flat(state.params)
+        shadow = {n: e * d + src[n] * (1.0 - d) for n, e in shadow.items()}
+    got = _flat(state.ema["params"])
+    for n, want in shadow.items():
+        np.testing.assert_allclose(got[n], want, rtol=1e-5, atol=1e-6,
+                                   err_msg=n)

@@ -91,6 +91,17 @@ def test_serve_endpoint(artifact):
         except urllib.error.HTTPError as e:
             assert e.code == 400
             assert "error" in json.loads(e.read())
+
+        # liveness + metrics endpoints
+        health = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=60).read())
+        assert health == {"status": "ok"}
+        stats = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=60).read())
+        assert stats["requests"] == 1  # the good predict
+        assert stats["errors"] == 1   # the bad-image 400
+        assert stats["latency_ms"]["p50"] > 0
+        assert stats["batch_fill"] is None  # no micro-batching configured
     finally:
         server.shutdown()
 
@@ -134,6 +145,12 @@ def test_serve_micro_batching(tmp_path):
     for t in threads:
         t.join()
     assert got == want
+    # the fill histogram accounts for every coalesced image, and at least
+    # one dispatch carried more than one request under concurrent load
+    snap = batched.stats.snapshot()
+    assert sum(n * c for n, c in
+               ((int(k), v) for k, v in snap["batch_fill"].items())) == 6
+    assert snap["mean_fill"] >= 1
 
     # a fixed-batch-1 artifact cannot micro-batch: clear error
     fixed = str(tmp_path / "b1.stablehlo")

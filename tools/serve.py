@@ -12,7 +12,10 @@ can be exercised from anywhere that can POST an image:
 
 Responses are JSON rows with boxes in BOTH the network's input pixels and
 the original image's pixels (the inverse of the chosen preprocessing).
-``GET /`` returns the artifact metadata.
+``GET /`` returns the artifact metadata; ``GET /healthz`` liveness;
+``GET /stats`` request/error counts, latency percentiles, and the
+micro-batch fill histogram. SIGTERM/SIGINT shut down gracefully (in-flight
+requests finish; final stats printed).
 
 ``--max-batch N`` (with ``--window-ms``) turns on micro-batching — the
 TPU-idiomatic way to serve concurrent load: requests arriving within the
@@ -45,6 +48,58 @@ from podtpu.data.augment import letterbox  # noqa: E402
 from podtpu.utils.viz import load_names  # noqa: E402
 
 
+class Stats:
+    """Thread-safe serving metrics: request/error counts, latency
+    percentiles over a sliding window, and the micro-batch fill histogram
+    (how full each device dispatch was — THE efficiency number for padded
+    fixed-shape serving: fill 1/N means you pay N rows of FLOPs per
+    image)."""
+
+    def __init__(self, window: int = 1000):
+        from collections import deque
+
+        self._lock = threading.Lock()
+        self._lat = deque(maxlen=window)
+        self.requests = 0
+        self.errors = 0
+        self.fills: dict[int, int] = {}
+        self.t0 = time.monotonic()
+
+    def record(self, latency_s: float):
+        with self._lock:
+            self.requests += 1
+            self._lat.append(latency_s)
+
+    def record_error(self):
+        with self._lock:
+            self.errors += 1
+
+    def record_fill(self, n: int):
+        with self._lock:
+            self.fills[n] = self.fills.get(n, 0) + 1
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = sorted(self._lat)
+            fills = dict(sorted(self.fills.items()))
+            reqs, errs = self.requests, self.errors
+        pct = (lambda q: round(lat[min(len(lat) - 1,
+                                       int(q * len(lat)))] * 1000, 2)
+               if lat else None)
+        dispatches = sum(fills.values())
+        images = sum(n * c for n, c in fills.items())
+        return {
+            "uptime_s": round(time.monotonic() - self.t0, 1),
+            "requests": reqs,
+            "errors": errs,
+            "latency_ms": {"p50": pct(0.50), "p90": pct(0.90),
+                           "p99": pct(0.99)},
+            "batch_fill": fills or None,
+            "mean_fill": (round(images / dispatches, 2)
+                          if dispatches else None),
+        }
+
+
 class MicroBatcher:
     """Coalesce concurrent single-image requests into one device dispatch.
 
@@ -57,10 +112,12 @@ class MicroBatcher:
     batch FLOPs are nearly free until the MXU saturates.
     """
 
-    def __init__(self, run, batch: int, window_ms: float):
+    def __init__(self, run, batch: int, window_ms: float,
+                 stats: Stats | None = None):
         self.run = run  # [batch, H, W, 3] float32 -> (dets, valid)
         self.batch = batch
         self.window = window_ms / 1000.0
+        self.stats = stats
         self._cv = threading.Condition()
         self._pending: list[list] = []  # [x_row, result, event]
         threading.Thread(target=self._loop, daemon=True).start()
@@ -88,6 +145,8 @@ class MicroBatcher:
                     self._cv.wait(timeout=left)
                 todo = self._pending[: self.batch]
                 self._pending = self._pending[self.batch:]
+            if self.stats is not None:
+                self.stats.record_fill(len(todo))
             try:
                 x = np.stack([s[0] for s in todo])
                 if len(todo) < self.batch:
@@ -124,6 +183,7 @@ class Engine:
         # interpreter needs serializing
         self._lock = (threading.Lock() if artifact.endswith(".tflite")
                       else contextlib.nullcontext())
+        self.stats = Stats()
         self.batcher = None
         if max_batch > 1:
             if self.batch not in (None, max_batch):
@@ -136,7 +196,8 @@ class Engine:
                 with self._lock:
                     return self.run(x)
 
-            self.batcher = MicroBatcher(run_locked, max_batch, window_ms)
+            self.batcher = MicroBatcher(run_locked, max_batch, window_ms,
+                                        stats=self.stats)
 
     def _prep(self, im: np.ndarray):
         h0, w0 = im.shape[:2]
@@ -156,6 +217,16 @@ class Engine:
         return im, inv
 
     def predict(self, img_bytes: bytes):
+        t0 = time.monotonic()
+        try:
+            out = self._predict(img_bytes)
+        except Exception:
+            self.stats.record_error()
+            raise
+        self.stats.record(time.monotonic() - t0)
+        return out
+
+    def _predict(self, img_bytes: bytes):
         raw = cv2.imdecode(np.frombuffer(img_bytes, np.uint8),
                            cv2.IMREAD_COLOR)
         if raw is None:
@@ -209,10 +280,18 @@ def make_handler(engine: Engine):
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path.rstrip("/") in ("", "/info"):
+            path = self.path.rstrip("/")
+            if path in ("", "/info"):
                 self._send(200, engine.info())
+            elif path == "/healthz":
+                # the server only binds after the warmup dispatch, so
+                # liveness == readiness here
+                self._send(200, {"status": "ok"})
+            elif path == "/stats":
+                self._send(200, engine.stats.snapshot())
             else:
-                self._send(404, {"error": "GET / for info, POST /predict"})
+                self._send(404, {"error": "GET /, /healthz, /stats; "
+                                          "POST /predict"})
 
         def do_POST(self):
             if self.path.rstrip("/") != "/predict":
@@ -257,8 +336,19 @@ def main():
     engine.predict(cv2.imencode(
         ".jpg", np.zeros((args.size, args.size, 3), np.uint8))[1].tobytes())
     server = ThreadingHTTPServer((args.host, args.port), make_handler(engine))
+    # graceful shutdown: SIGTERM/SIGINT stop accepting, in-flight requests
+    # finish (ThreadingHTTPServer joins non-daemon semantics via shutdown),
+    # final stats go to stdout for the log collector
+    import signal
+
+    def _stop(*_):
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _stop)
+    signal.signal(signal.SIGINT, _stop)
     print(f"serving {engine.info()} on http://{args.host}:{args.port}")
     server.serve_forever()
+    print(f"shutdown; final stats: {json.dumps(engine.stats.snapshot())}")
 
 
 if __name__ == "__main__":

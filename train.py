@@ -44,11 +44,19 @@ def train(cfg: dict, resume: str | None = None, epochs: int | None = None):
         host_count=host_count,
     )
     trainer = Trainer(cfg)
+    start_epoch = 0
     if resume:
         trainer.state = trainer.ckpt.restore(resume, trainer.state)
-        print(f"resumed from {resume} at step {int(trainer.state.step)}")
+        # epoch-granular resume: a mid-epoch (preemption) checkpoint replays
+        # its epoch from the start — set_epoch(epoch) keeps the data draws
+        # per-epoch deterministic, and the step-indexed LR schedule realigns
+        # within one epoch
+        start_epoch = int(trainer.state.step) // max(len(train_loader), 1)
+        print(f"resumed from {resume} at step {int(trainer.state.step)} "
+              f"(epoch {start_epoch})")
     print(summarize(trainer.state.params, trainer.state.batch_stats))
-    trainer.fit(train_loader, val_loader, epochs=epochs)
+    trainer.fit(train_loader, val_loader, epochs=epochs,
+                start_epoch=start_epoch)
     return trainer
 
 
