@@ -325,8 +325,19 @@ def install_reference_shims():
         # removed from setuptools on this box; the reference's utils/general.py
         # imports it for version checks only (general.py:252-276)
         pr = types.ModuleType("pkg_resources")
-        pr.parse_version = lambda v: tuple(
-            int(x) if x.isdigit() else x for x in str(v).split("."))
+        def _parse_version(v):
+            # int-only tuples so tied prefixes compare ('1.9.0+cpu' vs
+            # '1.9.0' must not compare str>=int); local suffixes (+cpu)
+            # and non-numeric tails contribute their leading digits only
+            import re
+
+            parts = []
+            for x in str(v).split("."):
+                m = re.match(r"\d+", x)
+                parts.append(int(m.group()) if m else 0)
+            return tuple(parts)
+
+        pr.parse_version = _parse_version
         pr.parse_requirements = lambda f: iter(())
         pr.require = lambda r: None
         sys.modules["pkg_resources"] = pr

@@ -111,7 +111,7 @@ def test_serve_micro_batching(tmp_path):
     dispatches and every response matches the unbatched engine's."""
     import cv2
 
-    from serve import Engine, make_handler
+    from serve import Engine
 
     from podtpu.export.stablehlo import export_serving
     from podtpu.models import YoloV4Tiny

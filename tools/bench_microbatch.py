@@ -29,10 +29,14 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
 
-def _hammer(engine, bodies, threads: int) -> float:
-    """Wall seconds to serve every body once from ``threads`` clients."""
+def _hammer(engine, bodies, warm_bodies, threads: int) -> float:
+    """Wall seconds to serve every body once from ``threads`` clients.
+
+    Warmup uses bodies EXCLUDED from the timed set: the axon terminal
+    memoizes identical dispatches, so re-timing a warmed body would return
+    in ~30 us and skew the serial side of the A/B."""
     with cf.ThreadPoolExecutor(threads) as ex:
-        list(ex.map(engine.predict, bodies[:2]))  # warm/compile
+        list(ex.map(engine.predict, warm_bodies))  # warm/compile
         t0 = time.perf_counter()
         list(ex.map(engine.predict, bodies))
         return time.perf_counter() - t0
@@ -57,29 +61,29 @@ def main():
 
     from podtpu.export.stablehlo import export_serving
     from podtpu.models import build_model
-    from podtpu.train.state import create_train_state
     from serve import Engine
 
     cfg = get_configs(args.cfg)
     model = build_model(cfg)
-    state = create_train_state(cfg, jax.random.PRNGKey(0))
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
     size = cfg["input_size"]
+    variables = model.init(jax.random.PRNGKey(0),
+                           jax.numpy.zeros((1, size, size, 3)), train=False)
 
     rng = np.random.default_rng(0)
     bodies = [cv2.imencode(".jpg", rng.integers(0, 255, (size, size, 3))
                            .astype(np.uint8))[1].tobytes()
-              for _ in range(args.requests)]
+              for _ in range(args.requests + 2)]
+    warm_bodies, bodies = bodies[:2], bodies[2:]
 
     with tempfile.TemporaryDirectory() as td:
         path = os.path.join(td, "dyn.stablehlo")
         export_serving(model, variables, cfg,
                        (None, size, size, cfg.get("in_channels", 3)), path)
         serial = Engine(path, size, "resize", [])
-        dt_serial = _hammer(serial, bodies, args.threads)
+        dt_serial = _hammer(serial, bodies, warm_bodies, args.threads)
         batched = Engine(path, size, "resize", [],
                          max_batch=args.max_batch, window_ms=args.window_ms)
-        dt_batched = _hammer(batched, bodies, args.threads)
+        dt_batched = _hammer(batched, bodies, warm_bodies, args.threads)
 
     out = {
         "model": cfg["model"], "input_size": size,

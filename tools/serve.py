@@ -123,7 +123,7 @@ class MicroBatcher:
         threading.Thread(target=self._loop, daemon=True).start()
 
     def submit(self, x_row: np.ndarray):
-        slot = [x_row, None, threading.Event()]
+        slot = [x_row, None, threading.Event(), time.monotonic()]
         with self._cv:
             self._pending.append(slot)
             self._cv.notify()
@@ -137,7 +137,11 @@ class MicroBatcher:
             with self._cv:
                 while not self._pending:
                     self._cv.wait()
-                deadline = time.monotonic() + self.window
+                # the window counts from the OLDEST pending arrival, so a
+                # request left over from an overflowed batch doesn't wait a
+                # fresh full window on top of the dispatch it already sat
+                # through
+                deadline = self._pending[0][3] + self.window
                 while len(self._pending) < self.batch:
                     left = deadline - time.monotonic()
                     if left <= 0:
