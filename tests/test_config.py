@@ -34,3 +34,46 @@ def test_make_divisible():
     assert make_divisible(16) == 16
     assert make_divisible(13) == 16
     assert make_divisible(100, 8) == 104 or make_divisible(100, 8) % 8 == 0
+
+
+def test_validate_config_flags_typos_with_suggestions():
+    from podtpu.config import validate_config
+
+    warnings = validate_config({
+        "model": "yolov3", "emma": True,                   # ema typo
+        "optimizer_options": {"lr": 1e-3, "momentun": 0.9},  # momentum typo
+        "nms_options": {"multilabel": True},               # multi_label typo
+        "x_custom_note": "mine",                           # unknown, no hint
+    })
+    text = "\n".join(warnings)
+    assert "emma" in text and "'ema'" in text
+    assert "momentun" in text and "'momentum'" in text
+    assert "multilabel" in text and "'multi_label'" in text
+    assert "x_custom_note" in text
+    assert len(warnings) == 4
+
+
+def test_validate_config_accepts_all_shipped_configs():
+    """Every config in configs/ passes validation clean — the registry and
+    the shipped surface stay in sync."""
+    import glob
+
+    from podtpu.config import get_configs, validate_config
+
+    for path in glob.glob("configs/*.yaml"):
+        cfg = get_configs(path, validate=False)
+        assert validate_config(cfg) == [], path
+
+
+def test_strict_config_env(tmp_path, monkeypatch):
+    import pytest as _pytest
+
+    from podtpu.config import get_configs
+
+    p = tmp_path / "bad.yaml"
+    p.write_text("model: yolov3\nemma: true\n")
+    monkeypatch.setenv("PODTPU_STRICT_CONFIG", "1")
+    with _pytest.raises(ValueError, match="unknown config key"):
+        get_configs(str(p))
+    monkeypatch.delenv("PODTPU_STRICT_CONFIG")
+    get_configs(str(p))  # warning only
