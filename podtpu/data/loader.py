@@ -85,12 +85,26 @@ class Loader:
         self.epoch = epoch
 
     def _indices(self) -> np.ndarray:
+        """This host's shard — equalized across hosts.
+
+        Multi-host collectives execute in lockstep, so every host MUST run
+        the same number of batches per epoch: when ``n % host_count != 0``
+        the short shards wrap around and repeat their first indices
+        (torch DistributedSampler's padding semantics) so all shards have
+        ``ceil(n / host_count)`` samples. The few duplicated samples are a
+        known DistributedSampler artifact; n_valid bookkeeping still only
+        marks ragged-final-batch padding, not these."""
         n = len(self.dataset)
         if self.shuffle:
             order = np.random.default_rng((self.seed, self.epoch)).permutation(n)
         else:
             order = np.arange(n)
-        return order[self.host_id :: self.host_count]
+        shard = order[self.host_id :: self.host_count]
+        if self.host_count > 1:
+            target = -(-n // self.host_count)
+            if len(shard) < target:
+                shard = np.concatenate([shard, shard[: target - len(shard)]])
+        return shard
 
     def __len__(self) -> int:
         n = len(self._indices())

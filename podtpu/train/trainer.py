@@ -38,8 +38,9 @@ def _local_rows(arr) -> np.ndarray:
 
     Single-process: the whole array. Multi-process DP: only this host's
     addressable shards (in batch order) — they line up with the host-local
-    loader rows, so each host scores its own shard (val_loss is already the
-    global mean; val_mAP is logged per host over its shard)."""
+    loader rows (``validate`` then all-gathers every host's rows so the
+    logged val_mAP is the GLOBAL metric on every host; val_loss is already
+    the global mean)."""
     if jax.process_count() == 1:
         return np.asarray(arr)
     shards = sorted(arr.addressable_shards,
@@ -661,21 +662,38 @@ class Trainer:
                 else self.state.replace(ema=None))
 
     def validate(self, val_loader) -> dict:
+        """val_loss + val_mAP over the full validation set.
+
+        Multi-process DP: each host's loader holds one shard, the eval step
+        runs on the global batch, and the per-host detection/annotation
+        rows are all-gathered so EVERY host scores the GLOBAL mAP (the
+        loaders' equalized shards keep batch counts — and therefore the
+        collective schedule — identical across hosts)."""
         self.map_metric.reset_states()
         losses = []
         val_loader.set_epoch(0)
         eval_state = self._eval_state()
+        multihost = jax.process_count() > 1
         for batch in val_loader:
             n_valid = batch.pop("n_valid", batch["img"].shape[0])
             dev_batch = self._put(batch)
             loss, dets, valid = self.eval_step(eval_state, dev_batch)
             losses.append(float(loss))
             # a padded final batch repeats its last sample — slice them off
-            self.map_metric.update_state(
-                batch["annot"][:n_valid],
-                _local_rows(dets)[:n_valid],
-                _local_rows(valid)[:n_valid],
-            )
+            rows = (batch["annot"], _local_rows(dets), _local_rows(valid),
+                    np.int64(n_valid))
+            if multihost:
+                from jax.experimental import multihost_utils
+
+                ann_g, det_g, val_g, nv_g = (
+                    multihost_utils.process_allgather(r) for r in rows)
+                for h in range(ann_g.shape[0]):
+                    nv = int(nv_g[h])
+                    self.map_metric.update_state(
+                        ann_g[h][:nv], det_g[h][:nv], val_g[h][:nv])
+            else:
+                ann, det, val, nv = rows
+                self.map_metric.update_state(ann[:nv], det[:nv], val[:nv])
         val_loss = float(np.mean(losses)) if losses else float("nan")
         val_map = self.map_metric.result()
         return {"val_loss": val_loss, "val_mAP": val_map}

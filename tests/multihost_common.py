@@ -16,6 +16,12 @@ CFG = {
     "optimizer_options": {"lr": 1e-3, "momentum": 0.9},
     "batch_size": 8,
     "max_annots": 8,
+    # validate phase: permissive NMS so the random-weight model emits
+    # detections to aggregate
+    "conf_threshold": 0.05,
+    "nms_iou_threshold": 0.45,
+    "top_k_candidates": 32,
+    "max_detections": 10,
 }
 
 

@@ -65,9 +65,20 @@ def main():
     psum = float(sum(float(jnp.sum(x))
                      for x in jax.tree_util.tree_leaves(new_state.params)))
 
+    # --- global-mAP validation: every host must score the GLOBAL val set
+    # (Trainer.validate all-gathers each host's detection/annotation rows)
+    from podtpu.train.trainer import Trainer
+
+    trainer = Trainer(CFG, eval_only=True, log=lambda *_: None)
+    vloader = Loader(ds, batch_size=CFG["batch_size"] // 2, shuffle=False,
+                     max_annots=8, workers=1, host_id=pid, host_count=2)
+    val = trainer.validate(vloader)
+
     with open(out_path, "w") as f:
         json.dump({"pid": pid, "indices": my_indices, "loss": loss,
                    "param_sum": psum,
+                   "val_map": val["val_mAP"], "val_loss": val["val_loss"],
+                   "n_scored": int(trainer.map_metric.img_idx),
                    "n_devices": len(jax.devices()),
                    "n_local": len(jax.local_devices())}, f)
 

@@ -607,3 +607,20 @@ def test_pixel_ops_stream_isolated(synth):
     simple = YoloTxtDataset(synth["train_list"], 160, augment=True,
                             pipeline="simple", pixel_ops=True)
     assert not simple.pixel_ops
+
+
+def test_loader_shard_equalization(synth):
+    """Uneven host shards wrap-pad to the same length (DistributedSampler
+    semantics) so multi-host collectives stay in lockstep: with 12 images on
+    5 hosts every host must run the same number of batches."""
+    ds = YoloTxtDataset(synth["train_list"], 160, augment=False)
+    loaders = [Loader(ds, batch_size=2, shuffle=False, max_annots=6,
+                      workers=1, host_id=h, host_count=5) for h in range(5)]
+    lens = [len(ld._indices()) for ld in loaders]
+    assert lens == [3] * 5  # ceil(12/5) everywhere (shards of 3,3,2,2,2 pad)
+    assert all(len(ld) == 2 for ld in loaders)
+    # union still covers the dataset; the pads are duplicates, not holes
+    union = set()
+    for ld in loaders:
+        union |= set(int(i) for i in ld._indices())
+    assert union == set(range(12))

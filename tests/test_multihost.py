@@ -99,3 +99,25 @@ def test_two_process_dp(tmp_path):
     # reduction-order difference shows up at ~1e-6 relative; 1e-5 is tight
     # enough to catch any real divergence (wrong shard, stale grad, ...)
     assert results[0]["param_sum"] == pytest.approx(want_psum, rel=1e-5)
+
+    # --- global-mAP validation: both hosts scored the GLOBAL 12-image set
+    # and agree exactly (they aggregate identical gathered rows)
+    assert results[0]["n_scored"] == results[1]["n_scored"] == 12
+    assert results[0]["val_map"] == results[1]["val_map"]
+    assert results[0]["val_loss"] == pytest.approx(
+        results[1]["val_loss"], rel=1e-6)
+
+    # ...and the number matches a single-process validate over the same set
+    from podtpu.data.loader import Loader
+    from podtpu.train.trainer import Trainer
+
+    tr = Trainer(CFG, eval_only=True, log=lambda *_: None)
+    ref = tr.validate(Loader(ds, batch_size=8, shuffle=False, max_annots=8,
+                             workers=1))
+    assert tr.map_metric.img_idx == 12
+    assert results[0]["val_map"] == pytest.approx(ref["val_mAP"], abs=1e-6)
+    # val_loss is NOT layout-comparable: ragged final batches pad by
+    # repeating the shard's last sample, and which rows get duplicated
+    # differs between 1-host bs=8 and 2-host bs=4 layouts. mAP slices the
+    # padding off, so it is the cross-layout invariant asserted above.
+    assert np.isfinite(results[0]["val_loss"])
