@@ -109,6 +109,7 @@ KNOWN_KEYS: dict[str, Any] = {
     "top_k_candidates": None, "max_detections": None,
     "nms_options": {"multi_label", "merge", "agnostic", "classes",
                     "backend"},
+    "tta": {"hflip"},
     "xla_compiler_options": ...,  # free-form flag=value mapping
 }
 

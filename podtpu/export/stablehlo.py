@@ -69,16 +69,13 @@ def export_serving(model, variables, cfg: dict, input_shape, path: str,
     nms in one module (utils/yolov3_utils.py:62-90). This is its artifact
     equivalent: one StableHLO program from image batch to
     ``(detections [B, max_det, 6], valid [B, max_det])``, weights frozen.
-    cfg ``nms_options`` (multi_label/merge/agnostic/classes) bake into the
-    artifact.
+    cfg ``nms_options`` (multi_label/merge/agnostic/classes) and ``tta``
+    (hflip test-time augmentation) bake into the artifact.
     """
-    from podtpu.train.steps import make_postprocess
+    from podtpu.train.steps import make_serve_fn
 
-    postprocess = make_postprocess(cfg)
-
-    def serve(x):
-        preds = model.apply(variables, x, train=False)
-        return postprocess(preds)
+    serve = make_serve_fn(
+        cfg, lambda x: model.apply(variables, x, train=False))
 
     exported = jexport.export(jax.jit(serve), platforms=platforms)(
         _input_spec(input_shape, dtype))

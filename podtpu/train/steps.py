@@ -132,17 +132,9 @@ def make_decoder(cfg: dict, multi_label: bool = False) -> Callable:
     raise ValueError(f"unknown model '{name}'")
 
 
-def make_postprocess(cfg: dict) -> Callable:
-    """Config -> fn(raw preds) -> (dets [B, max_det, 6], valid [B, max_det]).
-
-    Decode + padded NMS — the deployment postprocess shared by the eval step
-    and the serving exports (the reference's ``DecodeYoloVx`` unit,
-    utils/yolov3_utils.py:62-90). cfg ``nms_options`` carries the dormant
-    Ultralytics ``non_max_suppression`` variants (general.py:639-731):
-    ``multi_label`` (one candidate per (anchor, class), conf = obj*cls),
-    ``merge`` (weighted box fusion), ``agnostic`` (class-blind suppression),
-    ``classes`` (keep-only filter).
-    """
+def _decoder_and_nms(cfg: dict) -> tuple[Callable, Callable]:
+    """The two halves of the deployment postprocess: raw preds -> [B, N, 6]
+    candidates, and candidates -> padded NMS survivors."""
     nopts = cfg.get("nms_options") or {}
     decoder = make_decoder(cfg, multi_label=bool(nopts.get("multi_label")))
     conf_t = float(cfg.get("conf_threshold", 0.25))
@@ -158,13 +150,75 @@ def make_postprocess(cfg: dict) -> Callable:
     # exports bake the chosen backend into the artifact
     backend = nopts.get("backend")
 
-    def postprocess(preds):
-        boxes = decoder(preds)
+    def nms(boxes):
         return batched_class_aware_nms(
             boxes, conf_t, iou_t, top_k=top_k, max_detections=max_det,
             backend=backend, agnostic=agnostic, merge=merge, classes=classes)
 
+    return decoder, nms
+
+
+def make_postprocess(cfg: dict) -> Callable:
+    """Config -> fn(raw preds) -> (dets [B, max_det, 6], valid [B, max_det]).
+
+    Decode + padded NMS — the deployment postprocess shared by the eval step
+    and the serving exports (the reference's ``DecodeYoloVx`` unit,
+    utils/yolov3_utils.py:62-90). cfg ``nms_options`` carries the dormant
+    Ultralytics ``non_max_suppression`` variants (general.py:639-731):
+    ``multi_label`` (one candidate per (anchor, class), conf = obj*cls),
+    ``merge`` (weighted box fusion), ``agnostic`` (class-blind suppression),
+    ``classes`` (keep-only filter).
+    """
+    decoder, nms = _decoder_and_nms(cfg)
+
+    def postprocess(preds):
+        return nms(decoder(preds))
+
     return postprocess
+
+
+def tta_options(cfg: dict) -> dict | None:
+    """cfg ``tta`` -> ``{"hflip": bool}`` (``None`` = disabled).
+
+    Test-time augmentation for eval and serving: ``tta: true`` (or
+    ``{hflip: true}``) runs a second forward on the horizontally flipped
+    batch, mirrors its decoded candidates back, and feeds the doubled
+    candidate set through the one NMS. Fixed shapes throughout — the TTA
+    graph is still a single compiled program (beyond the reference, which
+    has no TTA surface)."""
+    t = cfg.get("tta")
+    if not t:
+        return None
+    t = dict(t) if isinstance(t, dict) else {}
+    return {"hflip": bool(t.get("hflip", True))}
+
+
+def make_serve_fn(cfg: dict, apply_fn: Callable,
+                  with_preds: bool = False) -> Callable:
+    """The deployment graph: image batch -> (dets, valid).
+
+    ``apply_fn(x) -> raw preds`` is the frozen-weights forward. Honors cfg
+    ``tta`` (extra flipped forward, candidates merged pre-NMS) and all
+    ``nms_options``. ``with_preds=True`` additionally returns the
+    UN-augmented raw preds (the eval step computes its loss on them)."""
+    decoder, nms = _decoder_and_nms(cfg)
+    tta = tta_options(cfg)
+    size = float(cfg["input_size"])
+
+    def serve(x):
+        preds = apply_fn(x)
+        boxes = decoder(preds)
+        if tta and tta["hflip"]:
+            flipped = decoder(apply_fn(jnp.flip(x, axis=2)))
+            # mirror the flipped-frame candidates back: cx -> W - cx
+            flipped = flipped.at[..., 0].set(size - flipped[..., 0])
+            boxes = jnp.concatenate([boxes, flipped], axis=1)
+        dets, valid = nms(boxes)
+        if with_preds:
+            return preds, dets, valid
+        return dets, valid
+
+    return serve
 
 
 def make_train_step(cfg: dict, mesh=None, donate: bool = True,
@@ -346,7 +400,6 @@ def make_eval_step(cfg: dict, mesh=None, extra_variables: dict | None = None,
     --quantize int8). They are closed over, i.e. compiled in as constants.
     """
     loss_fn = build_loss(cfg)
-    postprocess = make_postprocess(cfg)
 
     opts = compiler_options(cfg)
 
@@ -354,13 +407,12 @@ def make_eval_step(cfg: dict, mesh=None, extra_variables: dict | None = None,
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         if extra_variables:
             variables.update(extra_variables)
-        preds = state.apply_fn(
-            variables,
-            _as_input(batch["img"]),
-            train=False,
-        )
+        serve = make_serve_fn(
+            cfg, lambda x: state.apply_fn(variables, x, train=False),
+            with_preds=True)
+        preds, dets, valid = serve(_as_input(batch["img"]))
+        # loss always on the un-augmented forward (TTA affects detections)
         loss = loss_fn(preds, batch["annot"])
-        dets, valid = postprocess(preds)
         return loss, dets, valid
 
     if mesh is None:
