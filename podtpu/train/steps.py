@@ -178,19 +178,26 @@ def make_postprocess(cfg: dict) -> Callable:
 
 
 def tta_options(cfg: dict) -> dict | None:
-    """cfg ``tta`` -> ``{"hflip": bool}`` (``None`` = disabled).
+    """cfg ``tta`` -> ``{"hflip": bool, "scales": tuple}`` (``None`` = off).
 
     Test-time augmentation for eval and serving: ``tta: true`` (or
-    ``{hflip: true}``) runs a second forward on the horizontally flipped
-    batch, mirrors its decoded candidates back, and feeds the doubled
-    candidate set through the one NMS. Fixed shapes throughout — the TTA
-    graph is still a single compiled program (beyond the reference, which
-    has no TTA surface)."""
+    ``{hflip: true, scales: [0.83]}``) adds extra forwards — one on the
+    horizontally flipped batch, one per extra scale (the batch resized
+    into the top-left of a same-size gray canvas, YOLOv5 ``scale_img``
+    style, so every branch keeps the SAME static shape) — mirrors/rescales
+    the decoded candidates back, and feeds the merged set through the one
+    NMS. One compiled program regardless (beyond the reference, which has
+    no TTA surface)."""
     t = cfg.get("tta")
     if not t:
         return None
     t = dict(t) if isinstance(t, dict) else {}
-    return {"hflip": bool(t.get("hflip", True))}
+    scales = tuple(float(s) for s in (t.get("scales") or ())
+                   if float(s) != 1.0)
+    if any(not 0.0 < s <= 1.0 for s in scales):
+        raise ValueError(f"tta.scales must be in (0, 1]: same-canvas "
+                         f"downscale branches (got {scales})")
+    return {"hflip": bool(t.get("hflip", True)), "scales": scales}
 
 
 def make_serve_fn(cfg: dict, apply_fn: Callable,
@@ -208,11 +215,31 @@ def make_serve_fn(cfg: dict, apply_fn: Callable,
     def serve(x):
         preds = apply_fn(x)
         boxes = decoder(preds)
-        if tta and tta["hflip"]:
-            flipped = decoder(apply_fn(jnp.flip(x, axis=2)))
-            # mirror the flipped-frame candidates back: cx -> W - cx
-            flipped = flipped.at[..., 0].set(size - flipped[..., 0])
-            boxes = jnp.concatenate([boxes, flipped], axis=1)
+        if tta is not None:
+            extra = []
+            if tta["hflip"]:
+                flipped = decoder(apply_fn(jnp.flip(x, axis=2)))
+                # mirror the flipped-frame candidates back: cx -> W - cx
+                flipped = flipped.at[..., 0].set(size - flipped[..., 0])
+                extra.append(flipped)
+            h, w = x.shape[1], x.shape[2]
+            for s in tta["scales"]:
+                # YOLOv5 scale_img: resize into the top-left of a same-size
+                # gray canvas — every branch keeps the one static shape
+                hs, ws = max(1, round(h * s)), max(1, round(w * s))
+                small = jax.image.resize(
+                    x, (x.shape[0], hs, ws, x.shape[3]), "bilinear")
+                canvas = jnp.full_like(x, 0.447)
+                canvas = canvas.at[:, :hs, :ws, :].set(small)
+                cands = decoder(apply_fn(canvas))
+                # candidates live in canvas pixels; the content occupies
+                # [0, ws) x [0, hs) — rescale per axis by the EXACT ratio
+                sx, sy = w / ws, h / hs
+                cands = cands.at[..., 0].mul(sx).at[..., 2].mul(sx)
+                cands = cands.at[..., 1].mul(sy).at[..., 3].mul(sy)
+                extra.append(cands)
+            if extra:
+                boxes = jnp.concatenate([boxes] + extra, axis=1)
         dets, valid = nms(boxes)
         if with_preds:
             return preds, dets, valid

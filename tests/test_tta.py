@@ -34,8 +34,9 @@ CFG = {
 def test_tta_options_parsing():
     assert tta_options({}) is None
     assert tta_options({"tta": False}) is None
-    assert tta_options({"tta": True}) == {"hflip": True}
-    assert tta_options({"tta": {"hflip": False}}) == {"hflip": False}
+    assert tta_options({"tta": True}) == {"hflip": True, "scales": ()}
+    assert tta_options({"tta": {"hflip": False}}) == \
+        {"hflip": False, "scales": ()}
 
 
 @pytest.fixture(scope="module")
@@ -126,3 +127,45 @@ def test_tta_bakes_into_serving_artifact(model_and_vars, tmp_path):
     np.testing.assert_allclose(np.asarray(dets_a), np.asarray(dets_e),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(valid_a), np.asarray(valid_e))
+
+
+def test_tta_scale_options_parsing():
+    assert tta_options({"tta": {"scales": [1.0, 0.83]}}) == \
+        {"hflip": True, "scales": (0.83,)}
+    assert tta_options({"tta": {"hflip": False, "scales": []}}) == \
+        {"hflip": False, "scales": ()}
+    with pytest.raises(ValueError, match="scales"):
+        tta_options({"tta": {"scales": [1.5]}})
+
+
+@pytest.mark.slow
+def test_tta_scale_branch_candidates(model_and_vars):
+    """The scale branch == decode(forward(same-size gray canvas with the
+    top-left downscaled content)), rescaled by the exact per-axis ratio —
+    locks the canvas placement, axis order, and rescale plumbing."""
+    from podtpu.train.steps import make_postprocess
+
+    model, variables = model_and_vars
+    cfg = {**CFG, "tta": {"hflip": False, "scales": [0.5]}}
+    serve = _serve(cfg, model, variables)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (2, 64, 64, 3))
+    dets, valid = serve(x)
+
+    # manual reconstruction of the two branches
+    from podtpu.train.steps import _decoder_and_nms
+
+    decoder, nms = _decoder_and_nms(CFG)
+
+    def manual(x):
+        unit = decoder(model.apply(variables, x, train=False))
+        small = jax.image.resize(x, (2, 32, 32, 3), "bilinear")
+        canvas = jnp.full_like(x, 0.447).at[:, :32, :32, :].set(small)
+        cands = decoder(model.apply(variables, canvas, train=False))
+        cands = cands.at[..., 0].mul(2.0).at[..., 2].mul(2.0)
+        cands = cands.at[..., 1].mul(2.0).at[..., 3].mul(2.0)
+        return nms(jnp.concatenate([unit, cands], axis=1))
+
+    want_dets, want_valid = jax.jit(manual)(x)
+    np.testing.assert_allclose(np.asarray(dets), np.asarray(want_dets),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(want_valid))
