@@ -42,16 +42,18 @@ def _default_backend() -> str:
     """Suppression backend. Override with
     ``PODTPU_NMS_BACKEND=xla|xla_early|pallas``.
 
-    ``xla`` (default) = dense fori_loop; ``xla_early`` = data-dependent trip
-    count + lazy IoU rows (bit-identical keeps); the Pallas kernel fuses the
-    IoU matrix + loop in VMEM on TPU (measured slower on v5e — scaffold).
+    ``xla_early`` (default) = data-dependent trip count + lazy IoU rows;
+    bit-identical keeps to the dense loop, measured +11.8% on trained-score
+    distributions / neutral on uniform scores (RESULTS.md round-11, v5e).
+    ``xla`` = dense fori_loop; the Pallas kernel fuses the IoU matrix +
+    loop in VMEM on TPU (measured slower on v5e — scaffold).
     """
     import os
 
     env = os.environ.get("PODTPU_NMS_BACKEND")
     if env:
         return env
-    return "xla"
+    return "xla_early"
 
 
 def _select_candidates(boxes: jnp.ndarray, conf_threshold: float, top_k: int,

@@ -52,11 +52,18 @@ def timeit(fn, x0, iters: int) -> float:
     import jax
     import jax.numpy as jnp
 
-    out = fn(x0)
+    # Perturb via a TRACED delta: `x.at[...].add(python_const)` would bake
+    # each k into a fresh XLA program, and the first A/B cell then pays
+    # `iters` tunnel compiles the later cells get from the process cache
+    # (measured: 117-329 ms/iter of phantom cost on the first cell).
+    pert = jax.jit(lambda x, d: x.at[..., 4].add(d))
+    deltas = [jax.device_put(np.float32(k * 1e-7)) for k in range(iters)]
+
+    out = fn(pert(x0, deltas[0]))
     jax.device_get(jnp.ravel(out[0])[0])  # compile + warm
     t0 = time.perf_counter()
     for k in range(iters):
-        out = fn(x0.at[..., 4].add(k * 1e-7))  # perturb: defeat memoizer
+        out = fn(pert(x0, deltas[k]))  # fresh input: defeat memoizer
     jax.device_get(jnp.ravel(out[0])[0])  # honest fence
     return 1000 * (time.perf_counter() - t0) / iters
 
