@@ -36,13 +36,21 @@ def _bench(path: str, iters: int) -> dict:
     fn = jax.jit(exported.call)
     x = jax.device_put(
         np.random.default_rng(0).uniform(0, 1, dims).astype(np.float32))
-    out = fn(x)
+    # Perturb via a TRACED delta: `x + python_const` bakes each k into a
+    # fresh eager-add program, and the first artifact benched in the
+    # process then pays `iters` tunnel compiles that later artifacts get
+    # from the cache (measured: 2400 ms/iter of phantom cost on the first
+    # bench_tta cell). One jitted add, reused across iters and artifacts.
+    pert = jax.jit(lambda x, d: x + d)
+    deltas = [jax.device_put(np.float32(k * 1e-6)) for k in range(iters)]
+    out = fn(pert(x, deltas[0]))
     jax.block_until_ready(out)
+    jax.device_get(out)
     t0 = time.perf_counter()
-    # perturb the input each iteration: the axon terminal memoizes identical
+    # fresh input each iteration: the axon terminal memoizes identical
     # dispatches (same program + same buffers return in ~30 us off-chip)
     for k in range(iters):
-        out = fn(x + k * 1e-6)
+        out = fn(pert(x, deltas[k]))
     jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
     jax.device_get(out)
     dt = time.perf_counter() - t0
