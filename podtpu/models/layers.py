@@ -71,10 +71,17 @@ class BatchNormMixed(nn.Module):
             mean = checkpoint_name(mean, "bn_stats")
             var = checkpoint_name(var, "bn_stats")
             if not self.is_initializing():
+                # torch updates running_var with the UNBIASED batch variance
+                # (Bessel n/(n-1); _BatchNorm.forward) while normalizing
+                # with the biased one — match it exactly so BN EWMAs stay
+                # in lockstep with the reference (test_reference_grad_parity
+                # ::test_training_trajectory_lockstep).
+                n = x.shape[0] * x.shape[1] * x.shape[2]
+                bessel = n / max(n - 1, 1)
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1.0 - self.momentum) * mean)
                 ra_var.value = (self.momentum * ra_var.value
-                                + (1.0 - self.momentum) * var)
+                                + (1.0 - self.momentum) * bessel * var)
         else:
             mean, var = ra_mean.value, ra_var.value
 
@@ -122,6 +129,41 @@ def _fake_quant(x: jnp.ndarray, axis=None) -> jnp.ndarray:
     return (x32 + jax.lax.stop_gradient(q - x32)).astype(x.dtype)
 
 
+def _s2d_conv(x: jnp.ndarray, w: jnp.ndarray, dtype) -> jnp.ndarray:
+    """3x3 stride-2 pad-1 conv computed as a 2x2 stride-1 conv on the
+    space-to-depth input — an exact reparameterization (same 27 products
+    per output element, so forward-equal to f32 summation order).
+
+    Derivation: y[i,j] = sum_{di,dj in 0..2} w[di,dj] * x[2i+di-1, 2j+dj-1].
+    With X[i,j,(a,b,c)] = x[2i+a, 2j+b, c], row 2i+di-1 lands on s2d row
+    i-1 (di=0, a=1) or i (di=1 a=0 / di=2 a=1) — a 2-tap in s2d space with
+    one-sided top/left padding; taps (r,a) not in the map are zero. The
+    stride-2 conv's bottom/right pad rows are provably never read for even
+    H, W, so the one-sided pad loses nothing.
+
+    Why: C_in=3 at 416^2 is the most padding-hostile tensor on the chip
+    (lane dim 3/128); s2d trades it for C_in=12 at 208^2 with 4x fewer
+    vregs of pure padding (VERDICT r2 item 3 / RESULTS.md round-2 HLO
+    table: ~26% of step time sits in the >=208^2 HBM zone).
+    """
+    n, h, ww, c = x.shape
+    assert h % 2 == 0 and ww % 2 == 0, (h, ww)
+    assert w.shape[0] == w.shape[1] == 3, w.shape
+    xs = x.reshape(n, h // 2, 2, ww // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    xs = xs.reshape(n, h // 2, ww // 2, 4 * c).astype(dtype)
+    zero = jnp.zeros_like(w[0, 0])
+    tap = {(0, 1): 0, (1, 0): 1, (1, 1): 2}
+    w2 = jnp.stack([jnp.stack([jnp.stack([jnp.stack([
+        w[tap[(r, a)], tap[(s, b)]]
+        if (r, a) in tap and (s, b) in tap else zero
+        for b in (0, 1)]) for a in (0, 1)]) for s in (0, 1)])
+        for r in (0, 1)])  # (r, s, a, b, C, F)
+    w2 = w2.reshape(2, 2, 4 * c, w.shape[-1]).astype(dtype)
+    return jax.lax.conv_general_dilated(
+        xs, w2, window_strides=(1, 1), padding=((1, 0), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ConvBnAct(nn.Module):
     """Conv2d(pad=(k-1)//2, bias=False) + BatchNorm + activation.
 
@@ -148,6 +190,7 @@ class ConvBnAct(nn.Module):
     act: Callable | None = nn.relu  # None => linear (Conv2dBn)
     dtype: jnp.dtype = jnp.float32
     qat: bool = False  # cfg `qat: true`, threaded by the factory
+    s2d: bool = False  # PODTPU_STEM=s2d: space-to-depth reparam (3x3/2 only)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -173,6 +216,15 @@ class ConvBnAct(nn.Module):
             )
             x = acc.astype(jnp.float32) * (x_scale * w_scale)
             x = x.astype(self.dtype)
+        elif self.s2d and not (self.qat and train):
+            # Exact space-to-depth reparameterization of the stride-2 stem
+            # (see _s2d_conv). Same "conv/kernel" param as the stock path,
+            # so checkpoints are interchangeable and the kernel transform
+            # (a [3,3,C,F]-sized gather) is re-derived inside the jit.
+            assert self.kernel_size == 3 and self.strides == 2
+            kernel = _KernelParam(self.features, self.kernel_size,
+                                  name="conv")(x.shape[-1])
+            x = _s2d_conv(x, kernel, self.dtype)
         elif self.qat and train and not self.is_initializing():
             kernel = _KernelParam(self.features, self.kernel_size,
                                   name="conv")(x.shape[-1])

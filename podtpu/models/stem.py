@@ -31,6 +31,13 @@ def stem_fused_enabled() -> bool:
     return os.environ.get("PODTPU_STEM", "xla") == "fused"
 
 
+def stem_s2d_enabled() -> bool:
+    """Env gate: ``PODTPU_STEM=s2d`` computes the stride-2 stem conv as a
+    2x2 conv on the space-to-depth input — exact reparameterization, same
+    params (podtpu/models/layers.py::_s2d_conv)."""
+    return os.environ.get("PODTPU_STEM", "xla") == "s2d"
+
+
 def stem_fusable(x: jnp.ndarray, train: bool, out_indices) -> bool:
     """The fused kernel covers exactly conv3x3(3->C) stride 1 + 2x2/2 pool
     in train mode, with H a multiple of 8 (the kernel's row tile) and no
@@ -81,10 +88,14 @@ class _FusedConvBn(nn.Module):
         )
         pooled, mean, var = fused(x.astype(self.dtype), kernel, scale, bias)
         if not self.is_initializing():
+            # torch-exact running var uses the unbiased batch variance
+            # (Bessel), matching BatchNormMixed.
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            bessel = n / max(n - 1, 1)
             ra_mean.value = (self.momentum * ra_mean.value
                              + (1.0 - self.momentum) * mean)
             ra_var.value = (self.momentum * ra_var.value
-                            + (1.0 - self.momentum) * var)
+                            + (1.0 - self.momentum) * bessel * var)
         return pooled
 
 

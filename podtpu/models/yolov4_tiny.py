@@ -17,6 +17,7 @@ from podtpu.models.layers import (
     max_pool_2x2,
     upsample_nearest_2x,
 )
+from podtpu.models.stem import stem_s2d_enabled
 
 
 class YoloV4Tiny(nn.Module):
@@ -32,7 +33,8 @@ class YoloV4Tiny(nn.Module):
         out_ch = per_scale * (self.num_classes + 5)
         dt = self.dtype
 
-        x = ConvBnAct(32, 3, strides=2, dtype=dt, qat=self.qat, name="stem")(x, train)
+        x = ConvBnAct(32, 3, strides=2, dtype=dt, qat=self.qat,
+                      s2d=stem_s2d_enabled(), name="stem")(x, train)
         y = ConvBnAct(64, 3, strides=2, dtype=dt, qat=self.qat, name="layer1_0")(x, train)
         y = ConvBnAct(64, 3, dtype=dt, qat=self.qat, name="layer1_1")(y, train)
         x = V4TinyBlock(32, dtype=dt, qat=self.qat, name="tiny_block1")(y, train)

@@ -5,6 +5,7 @@ import json
 import os
 import sys
 import threading
+import time
 import urllib.request
 from http.server import ThreadingHTTPServer
 
@@ -157,3 +158,78 @@ def test_serve_micro_batching(tmp_path):
     export_serving(model, variables, CFG, (1, 64, 64, 3), fixed)
     with pytest.raises(ValueError, match="symbolic-batch"):
         Engine(fixed, 64, "resize", [], max_batch=4)
+
+
+def test_serve_error_paths(artifact):
+    """Fuzz the request surface: truncated JPEG, garbage bytes, oversized
+    body, empty body, bad/missing Content-Length — each maps to its status
+    code, increments the error counter, and never wedges the server."""
+    import http.client
+
+    import cv2
+
+    from serve import Engine, make_handler
+
+    engine = Engine(artifact, 64, "resize", ["a", "b", "c"],
+                    max_body_bytes=1 << 20)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def post(body: bytes) -> int:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=body, method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            return 200
+        except urllib.error.HTTPError as e:
+            assert "error" in json.loads(e.read())
+            return e.code
+
+    try:
+        img = np.random.default_rng(0).integers(
+            0, 255, (64, 64, 3)).astype(np.uint8)
+        good = cv2.imencode(".jpg", img)[1].tobytes()
+
+        assert post(good[: len(good) // 2]) == 400   # truncated JPEG
+        assert post(b"\x00" * 512) == 400            # garbage bytes
+        assert post(b"") == 400                      # empty body
+        assert post(b"x" * (2 << 20)) == 413         # oversized body
+        errors = 4
+
+        # hand-rolled requests urllib can't produce
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.putrequest("POST", "/predict", skip_accept_encoding=True)
+        conn.putheader("Content-Length", "banana")
+        conn.endheaders()
+        assert conn.getresponse().status == 400      # unparseable length
+        conn.close()
+        errors += 1
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.putrequest("POST", "/predict", skip_accept_encoding=True)
+        conn.endheaders()                            # no Content-Length
+        assert conn.getresponse().status == 411
+        conn.close()
+
+        # the server still serves after the fuzz barrage
+        assert post(good) == 200
+        snap = engine.stats.snapshot()
+        assert snap["errors"] == errors
+        assert snap["requests"] == 1
+    finally:
+        server.shutdown()
+
+
+def test_micro_batcher_timeout():
+    """A wedged device dispatch surfaces as TimeoutError (503), not a hang."""
+    from serve import MicroBatcher
+
+    def stuck_run(x):
+        time.sleep(60)
+
+    mb = MicroBatcher(stuck_run, batch=2, window_ms=1.0, timeout_s=0.3)
+    t0 = time.monotonic()
+    with pytest.raises(TimeoutError):
+        mb.submit(np.zeros((4, 4, 3), np.float32))
+    assert time.monotonic() - t0 < 5

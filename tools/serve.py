@@ -113,11 +113,12 @@ class MicroBatcher:
     """
 
     def __init__(self, run, batch: int, window_ms: float,
-                 stats: Stats | None = None):
+                 stats: Stats | None = None, timeout_s: float = 30.0):
         self.run = run  # [batch, H, W, 3] float32 -> (dets, valid)
         self.batch = batch
         self.window = window_ms / 1000.0
         self.stats = stats
+        self.timeout_s = timeout_s
         self._cv = threading.Condition()
         self._pending: list[list] = []  # [x_row, result, event]
         threading.Thread(target=self._loop, daemon=True).start()
@@ -127,7 +128,14 @@ class MicroBatcher:
         with self._cv:
             self._pending.append(slot)
             self._cv.notify()
-        slot[2].wait()
+        # bounded wait: a wedged device dispatch (or a dead worker thread)
+        # must surface as a 503, not hang the handler thread forever
+        if not slot[2].wait(timeout=self.timeout_s):
+            with self._cv:  # don't let a late dispatch run it pointlessly
+                if slot in self._pending:
+                    self._pending.remove(slot)
+            raise TimeoutError(
+                f"micro-batch dispatch exceeded {self.timeout_s:.0f}s")
         if isinstance(slot[1], Exception):
             raise slot[1]
         return slot[1]
@@ -174,7 +182,8 @@ class Engine:
 
     def __init__(self, artifact: str, size: int, preprocess: str,
                  names: list[str], max_batch: int = 1,
-                 window_ms: float = 5.0):
+                 window_ms: float = 5.0, max_body_bytes: int = 20 << 20,
+                 timeout_s: float = 30.0):
         # imported after setup_platform so --platform cpu takes effect
         from podtpu.export.runner import artifact_runner
 
@@ -188,6 +197,8 @@ class Engine:
         self._lock = (threading.Lock() if artifact.endswith(".tflite")
                       else contextlib.nullcontext())
         self.stats = Stats()
+        self.max_body_bytes = max_body_bytes
+        self.timeout_s = timeout_s
         self.batcher = None
         if max_batch > 1:
             if self.batch not in (None, max_batch):
@@ -201,7 +212,8 @@ class Engine:
                     return self.run(x)
 
             self.batcher = MicroBatcher(run_locked, max_batch, window_ms,
-                                        stats=self.stats)
+                                        stats=self.stats,
+                                        timeout_s=timeout_s)
 
     def _prep(self, im: np.ndarray):
         h0, w0 = im.shape[:2]
@@ -275,6 +287,10 @@ class Engine:
 
 def make_handler(engine: Engine):
     class Handler(BaseHTTPRequestHandler):
+        # socket-level guard: a client that stalls mid-body can't pin a
+        # handler thread past the request timeout
+        timeout = engine.timeout_s
+
         def _send(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
             self.send_response(code)
@@ -301,11 +317,43 @@ def make_handler(engine: Engine):
             if self.path.rstrip("/") != "/predict":
                 self._send(404, {"error": "POST /predict"})
                 return
-            n = int(self.headers.get("Content-Length", 0))
+            length = self.headers.get("Content-Length")
+            if length is None:
+                self._send(411, {"error": "Content-Length required"})
+                return
+            try:
+                n = int(length)
+                assert n >= 0
+            except (ValueError, AssertionError):
+                engine.stats.record_error()
+                self._send(400, {"error": f"bad Content-Length: {length!r}"})
+                return
+            if n == 0:
+                engine.stats.record_error()
+                self._send(400, {"error": "empty body"})
+                return
+            if n > engine.max_body_bytes:
+                engine.stats.record_error()
+                # drain in bounded chunks (never buffering the oversized
+                # body) so the client sees a clean 413 instead of a reset
+                # pipe mid-upload
+                left = n
+                while left > 0:
+                    got = self.rfile.read(min(left, 1 << 16))
+                    if not got:
+                        break
+                    left -= len(got)
+                self._send(413, {"error": f"body {n} bytes exceeds limit "
+                                          f"{engine.max_body_bytes}"})
+                return
             try:
                 self._send(200, engine.predict(self.rfile.read(n)))
-            except Exception as e:  # surface bad inputs as 400s
+            except ValueError as e:  # undecodable/garbage image payloads
                 self._send(400, {"error": str(e)})
+            except TimeoutError as e:  # wedged dispatch — retryable
+                self._send(503, {"error": str(e)})
+            except Exception as e:  # anything else is ours, not theirs
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
         def log_message(self, fmt, *args):  # quiet
             pass
@@ -330,12 +378,18 @@ def main():
                          "requests into one padded device dispatch")
     ap.add_argument("--window-ms", type=float, default=5.0,
                     help="micro-batching window after the first arrival")
+    ap.add_argument("--max-body-bytes", type=int, default=20 << 20,
+                    help="reject request bodies larger than this (413)")
+    ap.add_argument("--request-timeout-s", type=float, default=30.0,
+                    help="socket + micro-batch dispatch timeout")
     args = ap.parse_args()
     setup_platform(args.platform)
 
     names = load_names(args.names) if args.names else []
     engine = Engine(args.artifact, args.size, args.preprocess, names,
-                    max_batch=args.max_batch, window_ms=args.window_ms)
+                    max_batch=args.max_batch, window_ms=args.window_ms,
+                    max_body_bytes=args.max_body_bytes,
+                    timeout_s=args.request_timeout_s)
     # compile/warm once so the first request isn't a 30s surprise
     engine.predict(cv2.imencode(
         ".jpg", np.zeros((args.size, args.size, 3), np.uint8))[1].tobytes())
