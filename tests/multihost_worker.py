@@ -1,21 +1,32 @@
-"""Worker for the two-process DP test (launched by tests/test_multihost.py).
+"""Worker for the two-process tests (launched by tests/test_multihost.py).
 
-Each process: joins a jax.distributed CPU cluster (2 processes x 2 virtual
-devices = 4-device global mesh), dumps its loader shard indices, runs ONE
-global DP train step on a deterministic global batch (rows pid*4..pid*4+3
-local), and writes loss + a parameter checksum. The parent asserts the shards
-are disjoint/exhaustive and the step matches a single-process run on the
-same global batch (SURVEY.md §2.7 per-host sharded input requirement).
+Each process: joins a jax.distributed CPU cluster (2 processes x N virtual
+devices), dumps its loader shard indices, runs ONE global train step on a
+deterministic global batch (each process feeding only its local rows), and
+writes loss + a parameter checksum. The parent asserts the shards are
+disjoint/exhaustive and the step matches a single-process run on the same
+global batch (SURVEY.md §2.7 per-host sharded input requirement).
 
-Usage: python multihost_worker.py <pid> <port> <out_json> <train_list>
+Mode ``dp`` (default, 2x2 devices) is reference DDP parity; modes
+``dp_fsdp`` / ``dp_tp`` / ``dp_sp`` (2x4 devices) run the composed meshes
+with PROCESS-SPANNING sharded state — parameters/optimizer leaves living
+partly on each host (ZeRO-3 / Megatron-conv / spatial layouts from
+podtpu/parallel/mesh.py).
+
+Usage: python multihost_worker.py <pid> <port> <out_json> <train_list> \
+           [mode] [local_devices]
 """
 
 import json
 import os
 import sys
 
+_MODE = sys.argv[5] if len(sys.argv) > 5 else "dp"
+_LOCAL = int(sys.argv[6]) if len(sys.argv) > 6 else 2
+
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["XLA_FLAGS"] = (
+    f"--xla_force_host_platform_device_count={_LOCAL}")
 
 import jax  # noqa: E402
 
@@ -31,7 +42,10 @@ def main():
     jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2,
                                process_id=pid)
     assert jax.process_count() == 2
-    assert len(jax.devices()) == 4
+    assert len(jax.devices()) == 2 * _LOCAL
+    if _MODE != "dp":
+        run_composed(pid, out_path, train_list)
+        return
 
     import jax.numpy as jnp
     import numpy as np
@@ -79,6 +93,61 @@ def main():
                    "param_sum": psum,
                    "val_map": val["val_mAP"], "val_loss": val["val_loss"],
                    "n_scored": int(trainer.map_metric.img_idx),
+                   "n_devices": len(jax.devices()),
+                   "n_local": len(jax.local_devices())}, f)
+
+
+def run_composed(pid: int, out_path: str, train_list: str):
+    """One global train step on a composed 8-device mesh spanning the two
+    processes, with state sharded at rest (fsdp / tensor / spatial)."""
+    import jax.numpy as jnp
+
+    from podtpu.data.dataset import YoloTxtDataset
+    from podtpu.data.loader import pad_annotations
+    from podtpu.parallel.mesh import make_mesh, shard_batch, state_shardings
+    from podtpu.train.state import create_train_state
+    from podtpu.train.steps import make_train_step
+    from tests.multihost_common import CFG, make_global_batch
+
+    spatial = 2 if _MODE == "dp_sp" else 1
+    tensor = 2 if _MODE == "dp_tp" else 1
+    fsdp = _MODE == "dp_fsdp"
+    mesh = make_mesh(spatial=spatial, tensor=tensor)
+
+    state = create_train_state(CFG, jax.random.PRNGKey(0))
+    shardings = state_shardings(mesh, state, fsdp=fsdp, tensor=tensor > 1,
+                                min_shard_elems=2 ** 10)
+    state = jax.device_put(state, shardings)
+    n_sharded = sum(
+        1 for s in jax.tree_util.tree_leaves(
+            shardings, is_leaf=lambda x: hasattr(x, "spec"))
+        if tuple(s.spec))
+
+    ds = YoloTxtDataset(train_list, CFG["input_size"], augment=False,
+                        pipeline="simple")
+    imgs, annots = make_global_batch(ds, pad_annotations)
+    local = {"img": imgs[pid * 4:(pid + 1) * 4],
+             "annot": annots[pid * 4:(pid + 1) * 4]}
+
+    step = make_train_step(CFG, mesh, donate=False,
+                           state_shardings=shardings)
+    new_state, metrics = step(state, shard_batch(local, mesh),
+                              jax.random.PRNGKey(1))
+    loss = float(metrics["loss"])
+    # cross-process-sharded leaves aren't eagerly reducible on one host;
+    # the checksum must be a global jitted computation with a replicated
+    # (hence fully-addressable) output
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    psum_fn = jax.jit(
+        lambda p: sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(p)),
+        out_shardings=NamedSharding(mesh, PartitionSpec()))
+    psum = float(psum_fn(new_state.params))
+
+    with open(out_path, "w") as f:
+        json.dump({"pid": pid, "mode": _MODE, "loss": loss,
+                   "param_sum": psum, "n_sharded": n_sharded,
+                   "mesh": dict(mesh.shape),
                    "n_devices": len(jax.devices()),
                    "n_local": len(jax.local_devices())}, f)
 
