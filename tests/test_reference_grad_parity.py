@@ -232,7 +232,8 @@ def _run_trajectory(name: str, mutate: str | None = None) -> dict:
     else:
         loss_mod = import_reference("models.loss.yolov3_loss")
         t_loss_fn = loss_mod.YoloV3LossV2(C, VOC_ANCHORS, S)
-        model = YoloV3(num_classes=C, num_anchors=9)
+        model = (YoloV3(num_classes=C, num_anchors=9) if name == "yolov3"
+                 else YoloV4Tiny(num_classes=C, num_anchors=9))
         j_loss_fn = lambda preds, tgt: yolov3_loss_v2(  # noqa: E731
             preds, tgt, C, VOC_ANCHORS, S)
 
@@ -343,7 +344,7 @@ def _run_trajectory(name: str, mutate: str | None = None) -> dict:
             "bn_rel": bn_rel, **worst}
 
 
-@pytest.mark.parametrize("name", ["yolov2", "yolov3"])
+@pytest.mark.parametrize("name", ["yolov2", "yolov3", "yolov4-tiny"])
 def test_training_trajectory_lockstep(name):
     """20 full optimizer steps in lockstep with the live reference stack.
 
