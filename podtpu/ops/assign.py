@@ -272,10 +272,17 @@ def _dense_anchor_writes(
     winner = jnp.max(jnp.where(eq, order[:, :, None], 0), axis=1)  # [B, S]
     mask_flat = (winner > 0).astype(jnp.float32)
 
-    # Values of the winning annotation: gather along the (small) T axis.
+    # Values of the winning annotation: select along the (small) T axis as
+    # a one-hot matmul. A take_along_axis gather here lowers to a dynamic-
+    # slice loop that xprof measured at 18 GB/s (7.4 ms/step across the
+    # three grids, RESULTS.md round-11 roofline closure); the one-hot
+    # einsum rides the MXU and is bit-exact — each output element has
+    # exactly one nonzero product.
     idx = jnp.clip(winner - 1, 0, t - 1)                   # [B, S]
     feats = jnp.concatenate([tbox_gt, tcls_gt], axis=-1)   # [B, T, 4+C]
-    vals = jnp.take_along_axis(feats, idx[:, :, None], axis=1)  # [B, S, 4+C]
+    sel = (idx[:, :, None] == jnp.arange(t, dtype=jnp.int32)
+           ).astype(feats.dtype)                           # [B, S, T]
+    vals = jnp.einsum("bst,btc->bsc", sel, feats)          # [B, S, 4+C]
     vals = vals * mask_flat[:, :, None]
 
     # noobj: zero every (cell, anchor) where ANY valid GT in that cell has

@@ -45,8 +45,10 @@ def top_ops(trace_dir: str, k: int = 30):
         if "TPU" not in plane.name and "/device" not in plane.name.lower():
             continue
         for line in plane.lines:
-            # XLA Ops line carries per-op events; step lines etc. skipped
-            if "XLA Ops" not in line.name and "XLA Op" not in line.name:
+            # the "XLA Ops" line carries per-op SELF times; "Async XLA Ops"
+            # carries overlapping in-flight windows of async copies (its
+            # total can exceed wall several-fold) — summing it double-counts
+            if "XLA Ops" not in line.name or "Async" in line.name:
                 continue
             for ev in line.events:
                 dur = ev.duration_ns

@@ -72,7 +72,12 @@ def entry_traffic(hlo_text: str) -> dict[str, int]:
     lines = []
     for raw in body.splitlines():
         line = raw.strip()
-        mm = re.match(r"(?:ROOT )?%?([\w.\-]+) = (\([^)]*\)|\S+?\[[^\]]*\]\S*)\s+(\w+)", line)
+        # tuple types carry one level of nested parens in their layouts
+        # (e.g. {0:T(1024)(128)(2,1)S(1)}) — allow it
+        mm = re.match(
+            r"(?:ROOT )?%?([\w.\-]+) = "
+            r"(\((?:[^()]|\([^()]*\))*\)|\S+?\[[^\]]*\]\S*)\s+([\w\-]+)",
+            line)
         if not mm:
             continue
         name, type_str, opcode = mm.groups()
@@ -93,6 +98,47 @@ def entry_traffic(hlo_text: str) -> dict[str, int]:
     return traffic
 
 
+def top_ops_by_line(trace_dir: str):
+    """Like profile_step.top_ops, but prints per-plane/line totals first and
+    sums ONE "XLA Ops" line per device plane (a trace can carry several
+    op-granularity lines whose naive union double-counts device time)."""
+    import collections
+    import glob
+
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                      recursive=True)
+    if not paths:
+        return None, []
+    data = jax.profiler.ProfileData.from_file(paths[0])
+    totals: dict = collections.Counter()
+    device_total = 0.0
+    for plane in data.planes:
+        if "TPU" not in plane.name and "/device" not in plane.name.lower():
+            continue
+        line_sums = []
+        for line in plane.lines:
+            s = sum(ev.duration_ns for ev in line.events)
+            line_sums.append((line.name, len(list(line.events)), s))
+        for name, n, s in sorted(line_sums, key=lambda t: -t[2])[:8]:
+            print(f"  plane '{plane.name}' line '{name}': {n} events, "
+                  f"{s / 1e6:.1f} ms total")
+        # one op line per plane: the busiest SYNC "XLA Ops" line ("Async
+        # XLA Ops" holds overlapping in-flight windows, not self-time)
+        xla = [t for t in line_sums
+               if "XLA Ops" in t[0] and "Async" not in t[0]]
+        if not xla:
+            continue
+        best = max(xla, key=lambda t: t[2])
+        for line in plane.lines:
+            if line.name != best[0]:
+                continue
+            for ev in line.events:
+                totals[ev.name] += ev.duration_ns
+                device_total += ev.duration_ns
+            break
+    return device_total, totals.most_common(2000)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
@@ -101,7 +147,7 @@ def main():
     ap.add_argument("--trace-dir", type=str, default="/tmp/podtpu_roofline")
     args = ap.parse_args()
 
-    from profile_step import make_inputs, top_ops
+    from profile_step import make_inputs
 
     from __graft_entry__ import _flagship_cfg
     from podtpu.parallel.mesh import make_mesh, replicated_sharding, shard_batch
@@ -112,7 +158,11 @@ def main():
     mesh = make_mesh()
     state = jax.device_put(create_train_state(cfg, jax.random.PRNGKey(0)),
                            replicated_sharding(mesh))
-    step = make_train_step(cfg, mesh, donate=False)
+    # donate=True is the production configuration (bench.py): without it
+    # every param/momentum leaf is copied each step — a first run of this
+    # tool with donate=False measured 275 ms wall and ~81 GB entry traffic,
+    # all of it copy-start/copy-done pairs that don't exist in the real step
+    step = make_train_step(cfg, mesh, donate=True)
     batch = shard_batch(make_inputs(cfg, args.batch), mesh)
     rng = jax.random.PRNGKey(0)
 
@@ -130,17 +180,17 @@ def main():
           f"{entry_total / 1e9:.2f} GB over {len(traffic)} ops")
 
     for _ in range(3):
-        _, m = step(state, batch, rng)
+        state, m = step(state, batch, rng)
     jax.device_get(np.asarray(m["loss"]))
     t0 = time.perf_counter()
     with jax.profiler.trace(args.trace_dir):
         for _ in range(args.iters):
-            _, m = step(state, batch, rng)
+            state, m = step(state, batch, rng)
         jax.device_get(np.asarray(m["loss"]))
     wall = (time.perf_counter() - t0) / args.iters
     print(f"step {wall * 1000:.1f} ms -> {args.batch / wall:.1f} img/s")
 
-    device_total, tops = top_ops(args.trace_dir, k=2000)
+    device_total, tops = top_ops_by_line(args.trace_dir)
     if device_total is None:
         print("no xplane captured")
         return
@@ -150,7 +200,8 @@ def main():
     rows, matched_b, matched_ms = [], 0.0, 0.0
     for name, ns in tops:
         ms = ns / 1e6 / args.iters
-        key = name.lstrip("%")
+        # event names are full HLO definition lines; the key is the lhs
+        key = name.split(" = ")[0].strip().lstrip("%")
         b = traffic.get(key)
         if b is not None:
             matched_b += b
@@ -167,10 +218,14 @@ def main():
               f"{gbs or 0:7.0f} {100 * (gbs or 0) / HBM_PEAK_GBS:6.1f}  "
               f"{name[:90]}")
     ideal_ms = entry_total / 1e9 / HBM_PEAK_GBS * 1e3
+    # traced WALL carries tunnel/profiler overhead (~2x); device op time is
+    # the denominator that matches bench.py's untraced step
     print(f"\npure-BW floor at entry traffic: {ideal_ms:.1f} ms "
           f"({args.batch / ideal_ms * 1000:.0f} img/s); "
-          f"effective {entry_total / 1e9 / (wall):.0f} GB/s = "
-          f"{100 * entry_total / 1e9 / wall / HBM_PEAK_GBS:.1f}% of peak")
+          f"effective {matched_b / 1e9 / (dev_ms / 1e3):.0f} GB/s over "
+          f"device op time = "
+          f"{100 * matched_b / 1e9 / (dev_ms / 1e3) / HBM_PEAK_GBS:.1f}% "
+          f"of peak")
 
 
 if __name__ == "__main__":
