@@ -356,7 +356,10 @@ def encode_yolov1_targets(
         mask_flat = (winner <= t).astype(jnp.float32)          # [B, S*S]
         idx = jnp.clip(winner - 1, 0, t - 1)
         feats = jnp.concatenate([tbox_gt, tcls_gt], axis=-1)   # [B, T, 4+C]
-        vals = jnp.take_along_axis(feats, idx[:, :, None], axis=1)
+        # one-hot select instead of gather (see encode_anchor_targets)
+        sel = (idx[:, :, None] == jnp.arange(t, dtype=jnp.int32)
+               ).astype(feats.dtype)                           # [B, S, T]
+        vals = jnp.einsum("bst,btc->bsc", sel, feats)
         vals = vals * mask_flat[:, :, None]
         return Yolov1Targets(
             mask=mask_flat.reshape(b, s, s),
