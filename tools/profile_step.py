@@ -81,6 +81,9 @@ def main():
         state, m = step(state, batch, rng)
     jax.block_until_ready(m["loss"])
 
+    import shutil
+
+    shutil.rmtree(args.trace_dir, ignore_errors=True)  # no stale xplanes
     t0 = time.perf_counter()
     with jax.profiler.trace(args.trace_dir):
         for _ in range(args.iters):

@@ -182,6 +182,11 @@ def main():
     for _ in range(3):
         state, m = step(state, batch, rng)
     jax.device_get(np.asarray(m["loss"]))
+    # a stale .xplane.pb from a previous run would be globbed instead of
+    # this run's trace (observed: identical op table across code changes)
+    import shutil
+
+    shutil.rmtree(args.trace_dir, ignore_errors=True)
     t0 = time.perf_counter()
     with jax.profiler.trace(args.trace_dir):
         for _ in range(args.iters):
