@@ -14,6 +14,14 @@ bandwidth and the 819 GB/s roofline is attributed to specific ops (MXU
 compute-bound convs running above BW, latency-bound whiles below it)
 instead of an unexplained 40%.
 
+CAVEAT: entry-granularity traffic counts an operand once PER CONSUMER, so
+it upper-bounds true HBM bytes — graphs with heavy buffer reuse (the CSP
+concat routes in yolov4-tiny) can show >100% "of peak" per op; read those
+as "this op re-reads shared buffers", and cross-check the aggregate
+against cost_analysis's bytes-accessed. Also compare device op time to
+the bench wall: yolov4-tiny measured 44.6 ms device vs 59.5 ms wall —
+the ~15 ms/step gap is tunnel dispatch, not chip time.
+
     python tools/roofline_budget.py [--batch 128] [--iters 5]
 
 Run on the TPU only (never concurrently with bench.py).
@@ -145,6 +153,8 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--min-ms", type=float, default=0.25)
     ap.add_argument("--trace-dir", type=str, default="/tmp/podtpu_roofline")
+    ap.add_argument("--cfg", type=str, default=None,
+                    help="config yaml (default: the yolov3 flagship)")
     args = ap.parse_args()
 
     from profile_step import make_inputs
@@ -154,7 +164,13 @@ def main():
     from podtpu.train.state import create_train_state
     from podtpu.train.steps import make_train_step
 
-    cfg = _flagship_cfg(input_size=416, compute_dtype="bfloat16")
+    if args.cfg:
+        from podtpu.config import get_configs
+
+        cfg = get_configs(args.cfg)
+        cfg["compute_dtype"] = "bfloat16"
+    else:
+        cfg = _flagship_cfg(input_size=416, compute_dtype="bfloat16")
     mesh = make_mesh()
     state = jax.device_put(create_train_state(cfg, jax.random.PRNGKey(0)),
                            replicated_sharding(mesh))
