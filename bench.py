@@ -9,6 +9,24 @@ stay methodology-identical).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Robustness (round 4): the axon tunnel has a measured failure mode where
+device init (`jax.devices()`) hangs for tens of minutes (RESULTS.md round-9)
+— exactly what turned the round-3 driver capture into a silent rc=124.
+This script therefore runs the actual measurement in a WORKER SUBPROCESS
+(`python bench.py --worker`) under a parent watchdog:
+
+  * the worker prints timestamped heartbeat lines to stderr at every phase
+    (init start/done, compile start/done, warmup, timing) so a timeout tail
+    diagnoses itself;
+  * the parent kills a worker whose device init exceeds INIT_TIMEOUT_S or
+    whose attempt exceeds ATTEMPT_TIMEOUT_S, and retries ONCE;
+  * the parent exits nonzero with a clear stderr message well inside the
+    driver budget (BENCH_DEADLINE_S, default 540 s) instead of being killed
+    silently by the driver's timeout;
+  * the worker enables the JAX persistent compilation cache on a repo-local
+    dir (.jax_cache/) so the train-step program compiles over the slow
+    tunnel once ever, not once per capture.
+
 Baseline: the reference publishes no throughput numbers
 (BASELINE.json.published == {}). We use REF_GPU_IPS = 130 images/sec as the
 estimated reference training throughput on its single unspecified GPU — a
@@ -18,32 +36,170 @@ loop (SURVEY.md §3.1) drags it below that. vs_baseline = value / REF_GPU_IPS.
 
 The baseline is an ESTIMATE (no GPU in this environment to measure the
 reference), so vs_baseline carries roughly a 0.5-2x band; the absolute
-images/sec/chip and the roofline position (RESULTS.md "Round-2 MFU attack":
-495 GB/s effective of 819 peak, bandwidth-bound, pure-BW floor ~1540 img/s)
-are the hard numbers. Run-to-run variance over the axon tunnel is ~±3%.
+images/sec/chip and the roofline position (RESULTS.md "Round-11": 675 GB/s
+effective = 82% of HBM peak) are the hard numbers. Run-to-run variance over
+the axon tunnel is ~±3% within a run, up to -7% between runs (CLAUDE.md).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
+import threading
+import time
 
 REF_GPU_IPS = 130.0
 BATCH = 128
 
+# Watchdog budget. The driver runs `python bench.py` under its own timeout
+# (round 3 died at rc=124 with an empty tail); we self-impose a tighter
+# deadline so failures are loud and diagnosable instead of silent.
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "540"))
+INIT_TIMEOUT_S = float(os.environ.get("BENCH_INIT_TIMEOUT_S", "210"))
+ATTEMPT_TIMEOUT_S = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT_S", "420"))
 
-def main():
+_T0 = time.time()
+
+
+def _hb(msg: str) -> None:
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------- worker ---
+
+def worker() -> None:
+    """The actual measurement. Heartbeats on stderr, final JSON on stdout."""
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+
+    if os.environ.get("BENCH_LOG_CACHE"):
+        import logging
+
+        logging.basicConfig(level=logging.DEBUG)
+        for name in ("jax._src.compiler", "jax._src.compilation_cache"):
+            logging.getLogger(name).setLevel(logging.DEBUG)
+
+    _hb("init_start: importing jax + attaching to device backend")
+    import jax
+
+    # Persistent compilation cache: the batch-128 train step compiles over
+    # the tunnel once ever; later captures reload the serialized executable.
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    try:
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except AttributeError:
+        pass
+
+    devs = jax.devices()
+    _hb(f"init_done: {len(devs)} device(s), platform={devs[0].platform}")
+
     from __graft_entry__ import _flagship_cfg
     from tools.bench_family import bench
 
     cfg = _flagship_cfg(input_size=416, compute_dtype="bfloat16")
-    ips = bench(cfg, BATCH, warmup=3, iters=10)
+    ips = bench(cfg, BATCH, warmup=3, iters=10, hb=_hb)
     print(json.dumps({
         "metric": "yolov3_416_train_images_per_sec_per_chip",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / REF_GPU_IPS, 3),
-    }))
+    }), flush=True)
+
+
+# ---------------------------------------------------------------- parent ---
+
+class _Attempt:
+    """One worker subprocess, monitored via its stderr heartbeats."""
+
+    def __init__(self) -> None:
+        self.proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        self.start = time.time()
+        self.init_done = False
+        self.last_line = ""
+        self.json_line: str | None = None
+        self._threads = [
+            threading.Thread(target=self._pump_stderr, daemon=True),
+            threading.Thread(target=self._pump_stdout, daemon=True),
+        ]
+        for t in self._threads:
+            t.start()
+
+    def _pump_stderr(self) -> None:
+        for line in self.proc.stderr:
+            sys.stderr.write(line)
+            sys.stderr.flush()
+            self.last_line = line.rstrip()
+            if "init_done" in line:
+                self.init_done = True
+
+    def _pump_stdout(self) -> None:
+        for line in self.proc.stdout:
+            s = line.strip()
+            if s.startswith("{") and '"metric"' in s:
+                self.json_line = s
+            else:
+                sys.stderr.write(line)
+                sys.stderr.flush()
+
+    def kill(self) -> None:
+        try:
+            self.proc.kill()
+        except OSError:
+            pass
+        self.proc.wait()
+
+    def poll_outcome(self, deadline: float) -> str | None:
+        """'ok' | 'failed: why' | None (still running and within limits)."""
+        rc = self.proc.poll()
+        now = time.time()
+        if rc is not None:
+            for t in self._threads:
+                t.join(timeout=5)
+            if rc == 0 and self.json_line:
+                return "ok"
+            return f"failed: worker exited rc={rc} (last: {self.last_line!r})"
+        if not self.init_done and now - self.start > INIT_TIMEOUT_S:
+            self.kill()
+            return (f"failed: device init exceeded {INIT_TIMEOUT_S:.0f}s "
+                    f"(tunnel hang; last: {self.last_line!r})")
+        if now - self.start > ATTEMPT_TIMEOUT_S or now - _T0 > deadline:
+            self.kill()
+            return f"failed: attempt exceeded budget (last: {self.last_line!r})"
+        return None
+
+
+def main() -> None:
+    for attempt in (1, 2):
+        remaining = DEADLINE_S - (time.time() - _T0)
+        if attempt == 2 and remaining < 150:
+            _hb(f"no budget for retry ({remaining:.0f}s left)")
+            break
+        _hb(f"attempt {attempt}: spawning worker (budget {remaining:.0f}s)")
+        a = _Attempt()
+        while True:
+            outcome = a.poll_outcome(deadline=DEADLINE_S - 30)
+            if outcome == "ok":
+                print(a.json_line, flush=True)
+                return
+            if outcome is not None:
+                _hb(f"attempt {attempt} {outcome}")
+                break
+            time.sleep(1.0)
+    _hb("FAILED: no benchmark number produced within the self-imposed "
+        f"deadline ({DEADLINE_S:.0f}s); see heartbeat tail above for the "
+        "phase that stalled")
+    sys.exit(1)
 
 
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        worker()
+    else:
+        main()

@@ -16,25 +16,56 @@ import sys
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench(cfg: dict, batch: int, warmup: int = 3, iters: int = 10) -> float:
+def bench(cfg: dict, batch: int, warmup: int = 3, iters: int = 10,
+          hb=None, ksteps: int = 1) -> float:
+    """``ksteps > 1``: wrap K train steps in ONE dispatched program (a
+    ``lax.scan`` over the step, carrying the donated state) — the dispatch/
+    tunnel amortizer for small models. roofline_budget measured yolov4-tiny
+    at 44.6 ms device vs 59.5 ms bench wall (~25% per-step dispatch gap,
+    commit 542bb22); the earlier "K-step loop neutral" ledger entry was
+    yolov3-only (~10% gap). Throughput normalizes per underlying step."""
+    from flax import core
+
+    from podtpu.models import build_model
     from podtpu.parallel.mesh import make_mesh, replicated_sharding, shard_batch
-    from podtpu.train.state import create_train_state
+    from podtpu.train.optim import build_optimizer
+    from podtpu.train.state import TrainState
     from podtpu.train.steps import make_train_step
 
+    hb = hb or (lambda msg: None)
     mesh = make_mesh()
     n_chips = len(jax.devices())
     rng = jax.random.PRNGKey(0)
-    state = create_train_state(cfg, rng)
+    # jit the array-producing init (model.init's ~70 eager convs and the
+    # optimizer's per-leaf zeros each pay a tunnel round trip — ~131 s
+    # measured pre-compile in the round-3 harness); the static fields
+    # (apply_fn, tx) are assembled on host so no tracer crosses the jit
+    model = build_model(cfg)
+    size_ = cfg["input_size"]
+    dummy = jnp.zeros((1, size_, size_, cfg.get("in_channels", 3)),
+                      jnp.float32)
+    variables = jax.jit(lambda r: model.init(r, dummy, train=False))(rng)
+    params = variables["params"]
+    tx = build_optimizer(cfg, params)
+    state = TrainState(
+        step=0, apply_fn=model.apply, params=params, tx=tx,
+        opt_state=jax.jit(tx.init)(params),
+        batch_stats=variables.get("batch_stats", core.FrozenDict()))
     state = jax.device_put(state, replicated_sharding(mesh))
+    hb("state_ready: params initialized on device")
 
     size = cfg["input_size"]
+    # images are generated ON DEVICE — a batch-128 f32 416^2 batch is
+    # ~266 MB, minutes through the tunnel if shipped from host
+    imgs = jax.jit(lambda k: jax.random.uniform(
+        k, (batch, size, size, 3), jnp.float32))(jax.random.PRNGKey(1))
     r = np.random.default_rng(0)
-    imgs = r.uniform(0, 1, (batch, size, size, 3)).astype(np.float32)
     annot = -np.ones((batch, cfg["max_annots"], 5), np.float32)
     for b in range(batch):
         for i in range(min(8, cfg["max_annots"])):
@@ -43,7 +74,20 @@ def bench(cfg: dict, batch: int, warmup: int = 3, iters: int = 10) -> float:
             annot[b, i] = [cx, cy, w, h, r.integers(0, cfg["num_classes"])]
     dbatch = shard_batch({"img": imgs, "annot": annot}, mesh)
 
-    train_step = make_train_step(cfg, mesh, donate=True)
+    if ksteps > 1:
+        import functools
+
+        inner = make_train_step(cfg, mesh, donate=False)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state, batch, rng):
+            def body(st, _):
+                st, m = inner(st, batch, rng)
+                return st, m["loss"]
+            st, losses = jax.lax.scan(body, state, None, length=ksteps)
+            return st, {"loss": losses[-1]}
+    else:
+        train_step = make_train_step(cfg, mesh, donate=True)
 
     def fence(m):
         # real device round trip on ONE scalar: block_until_ready has been
@@ -52,16 +96,24 @@ def bench(cfg: dict, batch: int, warmup: int = 3, iters: int = 10) -> float:
         jax.block_until_ready(m["loss"])
         jax.device_get(m["loss"])
 
-    for _ in range(warmup):
+    hb(f"compile_start: jitting train step (model={cfg['model']}, "
+       f"batch={batch}) — first dispatch compiles")
+    tc = time.perf_counter()
+    for i in range(warmup):
         state, metrics = train_step(state, dbatch, rng)
+        if i == 0:
+            fence(metrics)
+            hb(f"compile_done in {time.perf_counter() - tc:.1f}s; warming up")
     fence(metrics)
+    hb(f"warmup_done ({warmup} steps); timing {iters} steps")
 
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = train_step(state, dbatch, rng)
     fence(metrics)
     dt = time.perf_counter() - t0
-    return batch * iters / dt / n_chips
+    hb(f"timing_done: {dt:.2f}s for {iters} dispatches x {ksteps} step(s)")
+    return batch * iters * ksteps / dt / n_chips
 
 
 def main():
@@ -72,16 +124,25 @@ def main():
     ap.add_argument("--batches", default="32")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--ksteps", default="1",
+                    help="comma list; >1 scans K train steps per dispatch")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="loop the (batch x ksteps) grid N times — "
+                         "interleaved A/B cells (CLAUDE.md: consecutive "
+                         "runs drift up to -7%%; interleave within a block)")
     args = ap.parse_args()
     setup_platform(args.platform)
 
     cfg = get_configs(args.cfg)
-    for b in [int(x) for x in args.batches.split(",")]:
-        ips = bench(cfg, b, iters=args.iters)
-        print(json.dumps({
-            "model": cfg["model"], "input_size": cfg["input_size"],
-            "batch": b, "images_per_sec_per_chip": round(ips, 2),
-        }))
+    for rep in range(args.repeat):
+        for b in [int(x) for x in args.batches.split(",")]:
+            for k in [int(x) for x in args.ksteps.split(",")]:
+                ips = bench(cfg, b, iters=args.iters, ksteps=k)
+                print(json.dumps({
+                    "model": cfg["model"], "input_size": cfg["input_size"],
+                    "batch": b, "ksteps": k, "rep": rep,
+                    "images_per_sec_per_chip": round(ips, 2),
+                }), flush=True)
 
 
 if __name__ == "__main__":
