@@ -43,6 +43,10 @@ def main():
                                process_id=pid)
     assert jax.process_count() == 2
     assert len(jax.devices()) == 2 * _LOCAL
+    if _MODE.startswith("elastic_"):
+        run_elastic(pid, out_path, train_list, _MODE.split("_", 1)[1],
+                    sys.argv[7])
+        return
     if _MODE != "dp":
         run_composed(pid, out_path, train_list)
         return
@@ -148,6 +152,68 @@ def run_composed(pid: int, out_path: str, train_list: str):
         json.dump({"pid": pid, "mode": _MODE, "loss": loss,
                    "param_sum": psum, "n_sharded": n_sharded,
                    "mesh": dict(mesh.shape),
+                   "n_devices": len(jax.devices()),
+                   "n_local": len(jax.local_devices())}, f)
+
+
+def run_elastic(pid: int, out_path: str, train_list: str, action: str,
+                ckpt_dir: str):
+    """Elastic-topology leg on the 2-process side: an 8-device FSDP mesh
+    spanning both processes either trains 2 steps and SAVES a checkpoint
+    (``action='save'``), or RESTORES one written by a different topology
+    and continues 2 steps (``action='resume'``) — the pod preemption-
+    recovery scenario where the job comes back at a different process
+    count (VERDICT r3 item 5)."""
+    import jax.numpy as jnp
+
+    from podtpu.data.dataset import YoloTxtDataset
+    from podtpu.data.loader import pad_annotations
+    from podtpu.parallel.mesh import make_mesh, shard_batch, state_shardings
+    from podtpu.train.state import create_train_state
+    from podtpu.train.steps import make_train_step
+    from podtpu.train.trainer import CheckpointIO
+    from tests.multihost_common import CFG, make_global_batch
+
+    mesh = make_mesh()
+    state = create_train_state(CFG, jax.random.PRNGKey(0))
+    shardings = state_shardings(mesh, state, fsdp=True,
+                                min_shard_elems=2 ** 10)
+    state = jax.device_put(state, shardings)
+    io = CheckpointIO(ckpt_dir)
+    if action == "resume":
+        state = io.restore(os.path.join(ckpt_dir, "elastic"), state)
+
+    ds = YoloTxtDataset(train_list, CFG["input_size"], augment=False,
+                        pipeline="simple")
+    imgs, annots = make_global_batch(ds, pad_annotations)
+    local = {"img": imgs[pid * 4:(pid + 1) * 4],
+             "annot": annots[pid * 4:(pid + 1) * 4]}
+    dbatch = shard_batch(local, mesh)
+
+    step = make_train_step(CFG, mesh, donate=False,
+                           state_shardings=shardings)
+    losses = []
+    for _ in range(2):
+        state, metrics = step(state, dbatch, jax.random.PRNGKey(1))
+        losses.append(float(metrics["loss"]))
+
+    if action == "save":
+        # "elastic" is a non-staged target: both processes participate in
+        # the one orbax multiprocess commit (the staging rename-swap of the
+        # named targets is a single-host move)
+        io.save("elastic", state)
+        io.wait()
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    psum_fn = jax.jit(
+        lambda p: sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(p)),
+        out_shardings=NamedSharding(mesh, PartitionSpec()))
+    psum = float(psum_fn(state.params))
+
+    with open(out_path, "w") as f:
+        json.dump({"pid": pid, "mode": _MODE, "losses": losses,
+                   "param_sum": psum, "step": int(state.step),
                    "n_devices": len(jax.devices()),
                    "n_local": len(jax.local_devices())}, f)
 

@@ -199,3 +199,105 @@ def test_two_process_composed_mesh(tmp_path, mode):
                               new_state.params)))
     # ~6M signed terms cancel heavily; reduction order differs per layout
     assert results[0]["param_sum"] == pytest.approx(want_psum, rel=1e-4)
+
+
+def _spawn_elastic(action: str, ckpt_dir: str, train_list: str, tmp_path):
+    """Run the 2-process elastic leg (save or resume) and return its jsons."""
+    port = _free_port()
+    outs = [str(tmp_path / f"el_{action}_{i}.json") for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable,
+             os.path.join(REPO, "tests", "multihost_worker.py"),
+             str(i), str(port), outs[i], train_list,
+             f"elastic_{action}", "4", ckpt_dir],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+            env={**os.environ, "PYTHONPATH": REPO},
+        )
+        for i in range(2)
+    ]
+    results = []
+    for p, out in zip(procs, outs):
+        _, err = p.communicate(timeout=900)
+        assert p.returncode == 0, err[-3000:]
+        with open(out) as f:
+            results.append(json.load(f))
+    return results
+
+
+def test_elastic_topology_resume(tmp_path):
+    """Preemption recovery at a DIFFERENT topology: a checkpoint saved from
+    a 2-process x 4-device FSDP run restores and continues on 1 process x 8
+    devices — and the reverse — with step/loss continuity and final params
+    matching an uninterrupted run (VERDICT r3 item 5; one step beyond the
+    same-topology layout portability of test_parallel_modes.py's
+    test_fsdp_checkpoint_roundtrip)."""
+    import jax
+    import jax.numpy as jnp
+
+    from podtpu.data.dataset import YoloTxtDataset
+    from podtpu.data.loader import pad_annotations
+    from podtpu.data.synthetic import generate
+    from podtpu.parallel.mesh import make_mesh, shard_batch, state_shardings
+    from podtpu.train.state import create_train_state
+    from podtpu.train.steps import make_train_step
+    from podtpu.train.trainer import CheckpointIO
+    from tests.multihost_common import CFG, make_global_batch
+
+    info = generate(str(tmp_path / "synth"), n_train=12, n_val=4, size=96,
+                    num_classes=3, seed=5)
+    ds = YoloTxtDataset(info["train_list"], CFG["input_size"], augment=False,
+                        pipeline="simple")
+    imgs, annots = make_global_batch(ds, pad_annotations)
+
+    # --- uninterrupted single-process reference: 4 steps, 8-device FSDP
+    mesh = make_mesh(jax.devices()[:8])
+    state0 = create_train_state(CFG, jax.random.PRNGKey(0))
+    sh = state_shardings(mesh, state0, fsdp=True, min_shard_elems=2 ** 10)
+    state = jax.device_put(state0, sh)
+    dbatch = shard_batch({"img": imgs, "annot": annots}, mesh)
+    step = make_train_step(CFG, mesh, donate=False, state_shardings=sh)
+    ref_losses, ref_states = [], []
+    for _ in range(4):
+        state, metrics = step(state, dbatch, jax.random.PRNGKey(1))
+        ref_losses.append(float(metrics["loss"]))
+        ref_states.append(state)
+    ref_psum = float(sum(float(jnp.sum(x)) for x in
+                         jax.tree_util.tree_leaves(state.params)))
+
+    # --- leg A: save from 2 procs x 4 devices, resume on 1 proc x 8
+    ck_a = str(tmp_path / "ck_a")
+    res = _spawn_elastic("save", ck_a, info["train_list"], tmp_path)
+    assert all(r["n_devices"] == 8 and r["step"] == 2 for r in res)
+    for r in res:  # the pre-preemption trajectory matches the reference
+        # cross-topology psum order compounds over steps: measured 1.5e-4
+        # rel at step 2 and 1.5e-3 by step 4; a wrong resume (e.g. step-0
+        # restart) is ~50% off, so 1e-2 keeps full discriminating power
+        assert r["losses"] == pytest.approx(ref_losses[:2], rel=1e-2)
+
+    io = CheckpointIO(str(tmp_path / "io_a"))
+    # differently-seeded params grafted into state0's structure: the
+    # TrainState treedef carries static fields (apply_fn is bound to ITS
+    # model instance), so a fresh create_train_state would not match the
+    # sharding tree built from state0
+    other = create_train_state(CFG, jax.random.PRNGKey(7))
+    blank = jax.device_put(state0.replace(params=other.params), sh)
+    resumed = io.restore(os.path.join(ck_a, "elastic"), blank)
+    assert int(resumed.step) == 2  # step counter (and its LR) continue
+    for _ in range(2):
+        resumed, metrics = step(resumed, dbatch, jax.random.PRNGKey(1))
+        ref = ref_losses[int(resumed.step) - 1]
+        assert float(metrics["loss"]) == pytest.approx(ref, rel=1e-2)
+    psum = float(sum(float(jnp.sum(x)) for x in
+                     jax.tree_util.tree_leaves(resumed.params)))
+    assert psum == pytest.approx(ref_psum, rel=1e-2)
+
+    # --- leg B (reverse): save from 1 proc x 8 at step 2, resume on 2 procs
+    ck_b = str(tmp_path / "ck_b")
+    CheckpointIO(ck_b).save("elastic", ref_states[1])
+    res = _spawn_elastic("resume", ck_b, info["train_list"], tmp_path)
+    for r in res:
+        assert r["step"] == 4
+        assert r["losses"] == pytest.approx(ref_losses[2:], rel=1e-2)
+        assert r["param_sum"] == pytest.approx(ref_psum, rel=1e-2)
