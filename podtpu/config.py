@@ -92,6 +92,7 @@ KNOWN_KEYS: dict[str, Any] = {
     "early_stopping_patience": None, "save_dir": None, "save_freq": None,
     "keep_checkpoints": None, "async_checkpoint": None,
     "save_on_signal": None, "log_images": None, "progress": None,
+    "steps_per_dispatch": None,
     "remat_backbone": None, "remat_policy": None,
     "rehearsal_decay_step": None,
     "optimizer_options": {"lr", "momentum", "weight_decay", "nesterov",
@@ -109,7 +110,7 @@ KNOWN_KEYS: dict[str, Any] = {
     "top_k_candidates": None, "max_detections": None,
     "nms_options": {"multi_label", "merge", "agnostic", "classes",
                     "backend"},
-    "tta": {"hflip"},
+    "tta": {"hflip", "scales"},
     "xla_compiler_options": ...,  # free-form flag=value mapping
 }
 

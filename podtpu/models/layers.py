@@ -58,14 +58,36 @@ class BatchNormMixed(nn.Module):
                                lambda: jnp.ones((features,), jnp.float32))
 
         if train:
-            x32 = x.astype(jnp.float32)
-            mean = jnp.mean(x32, axis=(0, 1, 2))
-            # clamp: E[x^2] - E[x]^2 can cancel negative in f32 for
-            # large-mean/tiny-variance channels, and rsqrt(var + eps) would
-            # go NaN — the guard stock flax applies (flax _compute_stats)
-            var = jnp.maximum(
-                0.0, jnp.mean(jnp.square(x32), axis=(0, 1, 2))
-                - jnp.square(mean))
+            import os
+
+            if os.environ.get("PODTPU_BN_STATS", "reduce") == "einsum":
+                # MEASURED DEAD END (kept as opt-in scaffold): the moment
+                # reductions as contractions — Σx via ones, Σx² via the
+                # x·x self-contraction. Motivation was MXU latency hiding
+                # for the 80-160 GB/s deep-extent stat reduces (RESULTS.md
+                # round-11 table); measured 290 vs 1036 img/s @128 (3.6x
+                # WORSE): 'nc,nc->c' is a c-batched matvec with one output
+                # element per contraction — minimal MXU utilization. The
+                # vector reducer stays the default.
+                n = x.shape[0] * x.shape[1] * x.shape[2]
+                xf = x.reshape(-1, features)
+                mean = jnp.einsum(
+                    "nc,n->c", xf, jnp.ones((xf.shape[0],), x.dtype),
+                    preferred_element_type=jnp.float32) / n
+                ex2 = jnp.einsum(
+                    "nc,nc->c", xf, xf,
+                    preferred_element_type=jnp.float32) / n
+                var = jnp.maximum(0.0, ex2 - jnp.square(mean))
+            else:
+                x32 = x.astype(jnp.float32)
+                mean = jnp.mean(x32, axis=(0, 1, 2))
+                # clamp: E[x^2] - E[x]^2 can cancel negative in f32 for
+                # large-mean/tiny-variance channels, and rsqrt(var + eps)
+                # would go NaN — the guard stock flax applies (flax
+                # _compute_stats)
+                var = jnp.maximum(
+                    0.0, jnp.mean(jnp.square(x32), axis=(0, 1, 2))
+                    - jnp.square(mean))
             # [C]-sized; saving them under PODTPU_REMAT avoids re-reducing
             # the full conv output when the backward recomputes BN-apply.
             mean = checkpoint_name(mean, "bn_stats")

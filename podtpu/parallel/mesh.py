@@ -171,3 +171,24 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
             for k, v in batch.items()
         }
     return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+
+
+def stacked_sharding(sharding: NamedSharding) -> NamedSharding:
+    """The [K, ...]-stacked variant of a per-batch sharding: the leading
+    scan axis (steps-per-dispatch) is unsharded, everything shifts right."""
+    return NamedSharding(sharding.mesh, P(None, *sharding.spec))
+
+
+def shard_stacked_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a [K, B, ...]-stacked batch group (cfg ``steps_per_dispatch``)
+    onto the mesh — per-batch shardings shifted past the leading K axis."""
+    shardings = {k: stacked_sharding(image_sharding(mesh)) if k == "img"
+                 else stacked_sharding(batch_sharding(mesh))
+                 for k in batch}
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(
+                shardings[k], np.asarray(v))
+            for k, v in batch.items()
+        }
+    return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}

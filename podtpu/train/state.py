@@ -62,12 +62,26 @@ def create_train_state(cfg: dict, rng: jax.Array) -> TrainState:
     size = cfg["input_size"]
     dummy = jax.numpy.zeros((1, size, size, cfg.get("in_channels", 3)),
                             jax.numpy.float32)
-    variables = model.init(rng, dummy, train=False)
+    # jit the array-producing init: eager model.init dispatches each of the
+    # model's ~70 convs as its own device call — ~130 s of round trips over
+    # the remote-TPU tunnel vs seconds as one compiled program (measured,
+    # RESULTS.md round-12). Values are identical (same RNG draws). Static
+    # fields (apply_fn, tx) stay host-assembled — jitting the whole
+    # constructor leaks tracers through them. Multi-process runs keep the
+    # eager path: every process computes the same replicated init locally,
+    # and a jitted program would commit outputs to local devices only.
+    if jax.process_count() == 1:
+        variables = jax.jit(lambda r: model.init(r, dummy, train=False))(rng)
+    else:
+        variables = model.init(rng, dummy, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", core.FrozenDict())
     tx = build_optimizer(cfg, params)
-    state = TrainState.create(
-        apply_fn=model.apply, params=params, tx=tx, batch_stats=batch_stats,
+    opt_state = (jax.jit(tx.init)(params) if jax.process_count() == 1
+                 else tx.init(params))
+    state = TrainState(
+        step=0, apply_fn=model.apply, params=params, tx=tx,
+        opt_state=opt_state, batch_stats=batch_stats,
     )
     pretrained = cfg.get("backbone_pretrained")
     if pretrained:

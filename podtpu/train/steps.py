@@ -249,8 +249,14 @@ def make_serve_fn(cfg: dict, apply_fn: Callable,
 
 
 def make_train_step(cfg: dict, mesh=None, donate: bool = True,
-                    state_shardings=None):
+                    state_shardings=None, jit: bool = True):
     """Build the jitted ``(state, batch, rng) -> (state, metrics)`` step.
+
+    ``jit=False`` returns the raw traceable function (no jit, shardings,
+    donation, or compiler options applied) — for callers that embed the
+    step inside a larger compiled program, e.g. the K-step ``lax.scan``
+    dispatch amortizer in tools/bench_family.py (a nested jit cannot carry
+    ``compiler_options``).
 
     ``state_shardings`` (a pytree of ``NamedSharding`` matching the
     TrainState, from :func:`podtpu.parallel.mesh.state_shardings`) selects
@@ -345,6 +351,9 @@ def make_train_step(cfg: dict, mesh=None, donate: bool = True,
         metrics = {"loss": loss}
         return new_state, metrics
 
+    if not jit:
+        return train_step
+
     opts = compiler_options(cfg)
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,) if donate else (),
@@ -361,6 +370,57 @@ def make_train_step(cfg: dict, mesh=None, donate: bool = True,
         in_shardings=(st, batch_sh, repl),
         out_shardings=(st, repl),
         donate_argnums=(0,) if donate else (),
+        compiler_options=opts,
+    )
+
+
+def make_multi_train_step(cfg: dict, mesh=None, donate: bool = True,
+                          state_shardings=None):
+    """K train steps in ONE dispatched program (cfg ``steps_per_dispatch``).
+
+    A ``lax.scan`` of the train step over a [K, B, ...]-stacked batch group
+    carries the donated state on device across all K optimizer updates, so
+    per-dispatch overhead (host Python, tunnel latency, XLA launch) is paid
+    once per K steps. MEASURED (interleaved A/B, v5e @416 batch 128):
+    yolov4-tiny **+13.5%** (2822 vs 2486 img/s — its per-step dispatch gap
+    was ~25%, tools/roofline_budget.py); yolov3 neutral (~10% gap;
+    RESULTS.md dead-end ledger). Worth enabling for small/fast models or
+    high-latency-attached hosts.
+
+    Semantics are IDENTICAL to K sequential ``train_step`` calls on the
+    same batches (the per-step RNG folds the step counter, which advances
+    inside the scan). Returns metrics with a [K]-shaped ``loss``.
+    """
+    inner = make_train_step(cfg, mesh, jit=False)
+
+    def multi_step(state, batches, rng):
+        def body(st, b):
+            st, m = inner(st, b, rng)
+            return st, m["loss"]
+
+        state, losses = jax.lax.scan(body, state, batches)
+        return state, {"loss": losses}
+
+    opts = compiler_options(cfg)
+    donate_args = (0,) if donate else ()
+    if mesh is None:
+        return jax.jit(multi_step, donate_argnums=donate_args,
+                       compiler_options=opts)
+
+    from podtpu.parallel.mesh import stacked_sharding
+
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    st = state_shardings if state_shardings is not None else repl
+    batch_sh = {"img": stacked_sharding(image_sharding(mesh)),
+                "annot": stacked_sharding(data)}
+    if bool(cfg.get("device_geom", False)):
+        batch_sh["geom"] = stacked_sharding(data)
+    return jax.jit(
+        multi_step,
+        in_shardings=(st, batch_sh, repl),
+        out_shardings=(st, repl),
+        donate_argnums=donate_args,
         compiler_options=opts,
     )
 

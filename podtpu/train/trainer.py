@@ -26,11 +26,15 @@ import numpy as np
 
 from podtpu.config import make_model_name
 from podtpu.metrics import MeanAveragePrecision
-from podtpu.parallel.mesh import make_mesh, shard_batch
+from podtpu.parallel.mesh import make_mesh, shard_batch, shard_stacked_batch
 from podtpu.train.optim import total_notfinite
 from podtpu.train.schedule import build_schedule
 from podtpu.train.state import TrainState, create_train_state, param_count
-from podtpu.train.steps import make_eval_step, make_train_step
+from podtpu.train.steps import (
+    make_eval_step,
+    make_multi_train_step,
+    make_train_step,
+)
 
 
 def _local_rows(arr) -> np.ndarray:
@@ -330,6 +334,16 @@ class Trainer:
             self.state = jax.device_put(self.state, self.state_shardings)
         self.train_step = make_train_step(
             cfg, self.mesh, state_shardings=self.state_shardings)
+        # cfg ``steps_per_dispatch: K`` — scan K optimizer steps in one
+        # compiled dispatch (measured +13.5% on yolov4-tiny@416 b128 where
+        # the per-step dispatch gap was 25%; neutral on yolov3 — see
+        # steps.py::make_multi_train_step). Ragged epoch tails fall back to
+        # the single-step program.
+        self._spd = max(1, int(cfg.get("steps_per_dispatch", 1)))
+        self.multi_step = (
+            make_multi_train_step(cfg, self.mesh,
+                                  state_shardings=self.state_shardings)
+            if self._spd > 1 and not eval_only else None)
         # eval runs on a shadow-less state (``_eval_state`` strips ``ema`` —
         # restored eval states drop it too), so its sharding tree must not
         # carry the shadow's subtree either
@@ -465,13 +479,30 @@ class Trainer:
                 losses = []
                 t_epoch = time.time()
                 n_images = 0
+                pending = []  # host batches buffered for one K-step dispatch
                 for i, batch in enumerate(train_loader):
                     n_images += batch.pop("n_valid", batch["img"].shape[0])
-                    batch = self._put(batch)
-                    self.state, metrics = self.train_step(
-                        self.state, batch, self.rng
-                    )
-                    losses.append(metrics["loss"])
+                    if self.multi_step is not None:
+                        pending.append(batch)
+                        if len(pending) < self._spd:
+                            continue
+                        stacked = {k: np.stack([b[k] for b in pending])
+                                   for k in pending[0]}
+                        pending = []
+                        stacked = (shard_stacked_batch(stacked, self.mesh)
+                                   if self.mesh is not None else
+                                   jax.tree_util.tree_map(jnp.asarray,
+                                                          stacked))
+                        self.state, metrics = self.multi_step(
+                            self.state, stacked, self.rng)
+                        losses.extend(metrics["loss"][k]
+                                      for k in range(self._spd))
+                    else:
+                        batch = self._put(batch)
+                        self.state, metrics = self.train_step(
+                            self.state, batch, self.rng
+                        )
+                        losses.append(metrics["loss"])
                     if preempt.is_set():
                         break
                     if progress and (i % 10 == 9 or i + 1 == steps_per_epoch):
@@ -481,6 +512,13 @@ class Trainer:
                             f"\repoch {epoch}: {i + 1}/{steps_per_epoch} "
                             f"loss={float(losses[-1]):.4g} {rate:.1f} img/s   ")
                         sys.stdout.flush()
+                # ragged tail (< K batches left, or a preempt mid-group):
+                # run through the single-step program so no sample is lost
+                for batch in pending:
+                    batch = self._put(batch)
+                    self.state, metrics = self.train_step(
+                        self.state, batch, self.rng)
+                    losses.append(metrics["loss"])
                 if progress:
                     sys.stdout.write("\r\033[K")
                 if preempt.is_set():

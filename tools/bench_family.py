@@ -30,33 +30,17 @@ def bench(cfg: dict, batch: int, warmup: int = 3, iters: int = 10,
     at 44.6 ms device vs 59.5 ms bench wall (~25% per-step dispatch gap,
     commit 542bb22); the earlier "K-step loop neutral" ledger entry was
     yolov3-only (~10% gap). Throughput normalizes per underlying step."""
-    from flax import core
-
-    from podtpu.models import build_model
     from podtpu.parallel.mesh import make_mesh, replicated_sharding, shard_batch
-    from podtpu.train.optim import build_optimizer
-    from podtpu.train.state import TrainState
+    from podtpu.train.state import create_train_state
     from podtpu.train.steps import make_train_step
 
     hb = hb or (lambda msg: None)
     mesh = make_mesh()
     n_chips = len(jax.devices())
     rng = jax.random.PRNGKey(0)
-    # jit the array-producing init (model.init's ~70 eager convs and the
-    # optimizer's per-leaf zeros each pay a tunnel round trip — ~131 s
-    # measured pre-compile in the round-3 harness); the static fields
-    # (apply_fn, tx) are assembled on host so no tracer crosses the jit
-    model = build_model(cfg)
-    size_ = cfg["input_size"]
-    dummy = jnp.zeros((1, size_, size_, cfg.get("in_channels", 3)),
-                      jnp.float32)
-    variables = jax.jit(lambda r: model.init(r, dummy, train=False))(rng)
-    params = variables["params"]
-    tx = build_optimizer(cfg, params)
-    state = TrainState(
-        step=0, apply_fn=model.apply, params=params, tx=tx,
-        opt_state=jax.jit(tx.init)(params),
-        batch_stats=variables.get("batch_stats", core.FrozenDict()))
+    # create_train_state jits its array-producing init (one dispatch, not
+    # ~70 eager tunnel round trips — ~131 s measured in the round-3 harness)
+    state = create_train_state(cfg, rng)
     state = jax.device_put(state, replicated_sharding(mesh))
     hb("state_ready: params initialized on device")
 
@@ -77,9 +61,12 @@ def bench(cfg: dict, batch: int, warmup: int = 3, iters: int = 10,
     if ksteps > 1:
         import functools
 
-        inner = make_train_step(cfg, mesh, donate=False)
+        from podtpu.train.steps import compiler_options
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
+        inner = make_train_step(cfg, mesh, donate=False, jit=False)
+
+        @functools.partial(jax.jit, donate_argnums=(0,),
+                           compiler_options=compiler_options(cfg))
         def train_step(state, batch, rng):
             def body(st, _):
                 st, m = inner(st, batch, rng)
