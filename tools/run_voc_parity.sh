@@ -19,6 +19,16 @@
 #   PARITY_EPOCHS=""                override cfg epochs (e.g. 2)
 #   PARITY_BATCH=""                 override cfg batch_size
 #   PARITY_PLATFORM=""              pin backend (e.g. cpu)
+#   PARITY_DEPLOY_MODELS="yolov3"   models that ALSO run the deployment
+#                                   chain (VERDICT r3 item 6): train with
+#                                   cfg `ema: true` + `tta: {hflip}` (the
+#                                   measured-good deployment knobs), select
+#                                   best-by-EMA, export the int8+TTA serving
+#                                   artifact, score it via test.py
+#                                   --artifact, and assert the artifact mAP
+#                                   within PARITY_DEPLOY_TOL (default 0.02)
+#                                   of the in-process int8 validate. "" to
+#                                   skip.
 #
 # Notes: the full recipe (365/300 epochs, early stopping patience 30,
 # yolo_lr burn-in 1000 + 0.1 decay at 40k steps) is a multi-day run on one
@@ -32,6 +42,8 @@ WORK=${2:-./voc_parity_work}
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 DATA="$WORK/yolo_format"
 MODELS=${PARITY_MODELS:-"yolov2 yolov3"}
+DEPLOY_MODELS=${PARITY_DEPLOY_MODELS-"yolov3"}
+DEPLOY_TOL=${PARITY_DEPLOY_TOL:-0.02}
 PLATFORM_ARGS=()
 [ -n "${PARITY_PLATFORM:-}" ] && PLATFORM_ARGS=(--platform "$PARITY_PLATFORM")
 mkdir -p "$WORK"
@@ -75,7 +87,10 @@ EOF
 
 run_one() {
   local model=$1 target=$2
+  local deploy=0
+  case " $DEPLOY_MODELS " in *" $model "*) deploy=1 ;; esac
   local cfg="$WORK/${model}_voc.yaml"
+  PARITY_DEPLOY_THIS=$deploy \
   python - "$REPO/configs/${model}_voc.yaml" "$cfg" "$DATA" "$WORK" <<'EOF'
 import os, sys, yaml
 src, dst, data, work = sys.argv[1:5]
@@ -87,6 +102,13 @@ cfg["save_dir"] = f"{work}/saved"
 cfg["cache_images"] = True
 if os.environ.get("PARITY_BATCH"):
     cfg["batch_size"] = int(os.environ["PARITY_BATCH"])
+if os.environ.get("PARITY_DEPLOY_THIS") == "1":
+    # the measured-good deployment knobs (RESULTS.md round-11): EMA shadow
+    # trained + used for best-selection; hflip TTA and multi-label NMS
+    # (+0.49pt measured) at eval/serving
+    cfg["ema"] = True
+    cfg["tta"] = {"hflip": True}
+    cfg["nms_options"] = {"multi_label": True}
 yaml.safe_dump(cfg, open(dst, "w"))
 EOF
   echo "== 2/4 training $model (target mAP@.5 $target) =="
@@ -108,6 +130,33 @@ EOF
   python "$REPO/yolo2coco_pred_file.py" --cfg "$cfg" --ckpt "$ckpt" \
       --json "$WORK/val_coco.json" --out "$WORK/${model}_results.json" \
       "${PLATFORM_ARGS[@]}"
+  if [ "$deploy" = 1 ]; then
+    echo "== 5/5 $model deployment chain: EMA best -> int8+TTA artifact -> scored =="
+    local art="$WORK/${model}_serving.stablehlo"
+    local dbatch=${PARITY_BATCH:-8}
+    python "$REPO/export_model.py" --cfg "$cfg" --ckpt "$ckpt" \
+        --quantize int8 --calib-batches 4 --with-postprocess \
+        --batch "$dbatch" --out "$art" "${PLATFORM_ARGS[@]}"
+    python "$REPO/test.py" --cfg "$cfg" --artifact "$art" \
+        "${PLATFORM_ARGS[@]}" | tee "$WORK/${model}_artifact_eval.log"
+    python "$REPO/test.py" --cfg "$cfg" --ckpt "$ckpt" --quantize int8 \
+        --calib-batches 4 "${PLATFORM_ARGS[@]}" \
+        | tee "$WORK/${model}_int8_eval.log"
+    python - "$WORK/${model}_artifact_eval.log" \
+        "$WORK/${model}_int8_eval.log" "$DEPLOY_TOL" <<'EOF'
+import re, sys
+art_log, ref_log, tol = sys.argv[1], sys.argv[2], float(sys.argv[3])
+art = float(re.search(r"artifact val_mAP: ([\d.]+)", open(art_log).read())
+            .group(1))
+ref = float(re.search(r"^val_mAP: ([\d.]+)", open(ref_log).read(),
+                      re.MULTILINE).group(1))
+print(f"deployment check: artifact {art:.5f} vs in-process int8 {ref:.5f} "
+      f"(tol {tol})")
+assert abs(art - ref) <= tol, (
+    f"artifact mAP {art} deviates from in-process int8 validate {ref} "
+    f"by more than {tol}")
+EOF
+  fi
 }
 
 for m in $MODELS; do
