@@ -220,6 +220,27 @@ class CheckpointIO:
         return new
 
 
+def make_preempt_handler(preempt):
+    """SIGTERM handler for preemption-safe training (``save_on_signal``).
+
+    First SIGTERM only sets the flag — the step loop saves a durable
+    ``last`` checkpoint at the next step boundary and returns cleanly. A
+    SECOND SIGTERM escalates to the default action (immediate exit): the
+    boundary may be minutes away during the initial XLA compile, and
+    schedulers (or plain ``timeout``) must still be able to kill the
+    process with a repeat signal.
+    """
+    import signal
+
+    def _on_sigterm(signum, frame):
+        if preempt.is_set():
+            signal.signal(signal.SIGTERM, signal.SIG_DFL)
+            signal.raise_signal(signal.SIGTERM)
+        preempt.set()
+
+    return _on_sigterm
+
+
 def _restore_payload(ckptr, resolved: str, state: TrainState,
                      with_ema: bool, require_ema: bool = False) -> dict:
     """Restore a train-state payload, tolerating checkpoints without the
@@ -464,7 +485,7 @@ class Trainer:
         if bool(cfg.get("save_on_signal", True)):
             try:
                 prev_handler = signal.signal(
-                    signal.SIGTERM, lambda *_: preempt.set())
+                    signal.SIGTERM, make_preempt_handler(preempt))
                 installed = True
             except ValueError:  # not the main thread - no handler, no flag
                 pass

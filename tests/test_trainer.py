@@ -11,6 +11,8 @@ from podtpu.data.dataset import YoloTxtDataset
 from podtpu.data.synthetic import generate
 from podtpu.train.trainer import Trainer, restore_weights
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 @pytest.fixture(scope="module")
 def setup(tmp_path_factory):
@@ -340,6 +342,44 @@ def test_sigterm_preemption_checkpoint(setup):
     assert int(trainer2.state.step) == int(trainer.state.step) > 0
     # fit restored the previous SIGTERM disposition on exit
     assert signal.getsignal(signal.SIGTERM) == before
+
+
+def test_double_sigterm_escalates(tmp_path):
+    """A second SIGTERM must kill the process immediately (default action):
+    the graceful path only fires at a step boundary, which during the
+    minutes-long initial compile may be far away — observed live: `timeout`
+    SIGTERM-ing a compiling train.py leaked the process. Exercises the real
+    handler (trainer.make_preempt_handler) in a subprocess."""
+    import signal
+    import subprocess
+    import sys
+
+    child = (
+        "import os, signal, sys, threading, time\n"
+        "sys.path.insert(0, %r)\n"
+        "from podtpu.train.trainer import make_preempt_handler\n"
+        "ev = threading.Event()\n"
+        "signal.signal(signal.SIGTERM, make_preempt_handler(ev))\n"
+        "print('READY', flush=True)\n"
+        "while not ev.is_set():\n"
+        "    time.sleep(0.05)\n"
+        "print('FLAG', flush=True)\n"
+        "time.sleep(60)\n"  # simulates being stuck in a long compile
+        % REPO
+    )
+    p = subprocess.Popen([sys.executable, "-c", child],
+                         stdout=subprocess.PIPE, text=True)
+    try:
+        assert p.stdout.readline().strip() == "READY"
+        p.send_signal(signal.SIGTERM)  # graceful: flag only, stays alive
+        assert p.stdout.readline().strip() == "FLAG"
+        assert p.poll() is None
+        p.send_signal(signal.SIGTERM)  # escalation: default-action exit
+        rc = p.wait(timeout=10)
+        assert rc == -signal.SIGTERM
+    finally:
+        if p.poll() is None:
+            p.kill()
 
 
 @pytest.mark.slow
