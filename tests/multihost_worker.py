@@ -23,6 +23,9 @@ import sys
 
 _MODE = sys.argv[5] if len(sys.argv) > 5 else "dp"
 _LOCAL = int(sys.argv[6]) if len(sys.argv) > 6 else 2
+# process-count of the spawned cluster (test_four_process_fsdp raises it
+# to 4; the global batch of 8 rows is split evenly across processes)
+_NPROCS = int(os.environ.get("MH_NPROCS", "2"))
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
@@ -39,10 +42,10 @@ sys.path.insert(0, REPO)
 def main():
     pid, port, out_path, train_list = (
         int(sys.argv[1]), sys.argv[2], sys.argv[3], sys.argv[4])
-    jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2,
+    jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=_NPROCS,
                                process_id=pid)
-    assert jax.process_count() == 2
-    assert len(jax.devices()) == 2 * _LOCAL
+    assert jax.process_count() == _NPROCS
+    assert len(jax.devices()) == _NPROCS * _LOCAL
     if _MODE.startswith("elastic_"):
         run_elastic(pid, out_path, train_list, _MODE.split("_", 1)[1],
                     sys.argv[7])
@@ -70,8 +73,9 @@ def main():
     my_indices = [int(i) for i in loader._indices()]
 
     imgs, annots = make_global_batch(ds, pad_annotations)
-    local = {"img": imgs[pid * 4:(pid + 1) * 4],
-             "annot": annots[pid * 4:(pid + 1) * 4]}
+    rows = len(imgs) // _NPROCS  # each process feeds its slice of the
+    local = {"img": imgs[pid * rows:(pid + 1) * rows],  # 8-row global batch
+             "annot": annots[pid * rows:(pid + 1) * rows]}
 
     mesh = make_mesh()
     state = create_train_state(CFG, jax.random.PRNGKey(0))
@@ -130,8 +134,9 @@ def run_composed(pid: int, out_path: str, train_list: str):
     ds = YoloTxtDataset(train_list, CFG["input_size"], augment=False,
                         pipeline="simple")
     imgs, annots = make_global_batch(ds, pad_annotations)
-    local = {"img": imgs[pid * 4:(pid + 1) * 4],
-             "annot": annots[pid * 4:(pid + 1) * 4]}
+    rows = len(imgs) // _NPROCS  # each process feeds its slice of the
+    local = {"img": imgs[pid * rows:(pid + 1) * rows],  # 8-row global batch
+             "annot": annots[pid * rows:(pid + 1) * rows]}
 
     step = make_train_step(CFG, mesh, donate=False,
                            state_shardings=shardings)
@@ -186,8 +191,9 @@ def run_elastic(pid: int, out_path: str, train_list: str, action: str,
     ds = YoloTxtDataset(train_list, CFG["input_size"], augment=False,
                         pipeline="simple")
     imgs, annots = make_global_batch(ds, pad_annotations)
-    local = {"img": imgs[pid * 4:(pid + 1) * 4],
-             "annot": annots[pid * 4:(pid + 1) * 4]}
+    rows = len(imgs) // _NPROCS  # each process feeds its slice of the
+    local = {"img": imgs[pid * rows:(pid + 1) * rows],  # 8-row global batch
+             "annot": annots[pid * rows:(pid + 1) * rows]}
     dbatch = shard_batch(local, mesh)
 
     step = make_train_step(CFG, mesh, donate=False,
