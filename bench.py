@@ -25,7 +25,18 @@ This script therefore runs the actual measurement in a WORKER SUBPROCESS
     silently by the driver's timeout;
   * the worker enables the JAX persistent compilation cache on a repo-local
     dir (.jax_cache/) so the train-step program compiles over the slow
-    tunnel once ever, not once per capture.
+    tunnel once ever, not once per capture;
+  * the cache dir is untracked and a workspace reset (git clean / fresh
+    clone between rounds) wipes it — observed at round-4 start, where the
+    first capture died mid-cold-compile. The worker therefore re-seeds
+    .jax_cache/ from the TRACKED tarball .jax_cache_seed.tar
+    (podtpu.config.seed_compile_cache) before attaching; with the seed the
+    warm path measured init 10 s + compile 148 s (train-step cache hit,
+    ~6 s post-hit deserialize/upload) + timing 1.3 s;
+  * a compile phase still running at COMPILE_TIMEOUT_S (330 s; warm max
+    measured 293 s) is killed EARLY — it is a tunnel stall or a cold
+    compile, neither finishes inside the deadline — so the one retry
+    (warm attempt ~160-300 s) still fits the remaining budget.
 
 Baseline: the reference publishes no throughput numbers
 (BASELINE.json.published == {}). We use REF_GPU_IPS = 130 images/sec as the
@@ -59,6 +70,11 @@ BATCH = 128
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "540"))
 INIT_TIMEOUT_S = float(os.environ.get("BENCH_INIT_TIMEOUT_S", "210"))
 ATTEMPT_TIMEOUT_S = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT_S", "420"))
+# Warm-cache compile (client tracing + cache deserialize + upload) measured
+# 148-293 s; a compile still running past this is a tunnel stall or a cold
+# compile (456-569 s), neither of which can finish inside DEADLINE_S — kill
+# it early so the retry (warm attempt ~160-300 s) still fits the budget.
+COMPILE_TIMEOUT_S = float(os.environ.get("BENCH_COMPILE_TIMEOUT_S", "330"))
 
 _T0 = time.time()
 
@@ -73,6 +89,15 @@ def worker() -> None:
     """The actual measurement. Heartbeats on stderr, final JSON on stdout."""
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
+    # A workspace reset wipes the untracked cache dir while the cold compile
+    # (456-569 s) exceeds the capture budget; re-seed from the tracked
+    # tarball first (pure-filesystem, no jax import).
+    try:
+        from podtpu.config import seed_compile_cache
+
+        seed_compile_cache(cache_dir)
+    except Exception as e:  # seed is best-effort; warming the slow way works
+        _hb(f"cache_seed skipped: {e}")
 
     if os.environ.get("BENCH_LOG_CACHE"):
         import logging
@@ -122,6 +147,8 @@ class _Attempt:
         )
         self.start = time.time()
         self.init_done = False
+        self.compile_start_t: float | None = None
+        self.compile_done = False
         self.last_line = ""
         self.json_line: str | None = None
         self._threads = [
@@ -138,6 +165,10 @@ class _Attempt:
             self.last_line = line.rstrip()
             if "init_done" in line:
                 self.init_done = True
+            elif "compile_start" in line:
+                self.compile_start_t = time.time()
+            elif "compile_done" in line:
+                self.compile_done = True
 
     def _pump_stdout(self) -> None:
         for line in self.proc.stdout:
@@ -169,6 +200,12 @@ class _Attempt:
             self.kill()
             return (f"failed: device init exceeded {INIT_TIMEOUT_S:.0f}s "
                     f"(tunnel hang; last: {self.last_line!r})")
+        if (self.compile_start_t is not None and not self.compile_done
+                and now - self.compile_start_t > COMPILE_TIMEOUT_S):
+            self.kill()
+            return (f"failed: compile exceeded {COMPILE_TIMEOUT_S:.0f}s — "
+                    "tunnel stall or cold compile (is .jax_cache/ seeded "
+                    f"from .jax_cache_seed.tar?) (last: {self.last_line!r})")
         if now - self.start > ATTEMPT_TIMEOUT_S or now - _T0 > deadline:
             self.kill()
             return f"failed: attempt exceeded budget (last: {self.last_line!r})"

@@ -54,6 +54,51 @@ DEFAULTS: dict[str, Any] = {
 }
 
 
+def seed_compile_cache(cache_dir: str) -> None:
+    """Populate ``cache_dir`` from the tracked seed tarball, if present.
+
+    The untracked ``.jax_cache/`` directory is wiped by any workspace reset
+    (git clean / fresh clone between build rounds), while the flagship
+    batch-128 train-step program costs 456-569 s to compile cold over the
+    TPU tunnel — larger than the bench-capture budget (bench.py measured a
+    round-4 capture die rc-nonzero mid-compile for exactly this reason).
+    ``.jax_cache_seed.tar`` at the repo root is committed to git, so it
+    survives every reset; extracting it here makes the first CLI/bench run
+    in a fresh checkout hit a warm cache. Only missing entries are written;
+    any failure is non-fatal (the cache then just warms the slow way).
+    """
+    import os
+    import tarfile
+
+    seed = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache_seed.tar",
+    )
+    if not os.path.isfile(seed):
+        return
+    try:
+        with tarfile.open(seed, "r") as tf:
+            for member in tf.getmembers():
+                name = os.path.basename(member.name)
+                if not member.isfile() or not name.endswith("-cache"):
+                    continue
+                dest = os.path.join(cache_dir, name)
+                if os.path.exists(dest):
+                    continue
+                src = tf.extractfile(member)
+                if src is None:
+                    continue
+                # write-then-rename so a concurrent reader (multi-process
+                # tests share the repo-local cache dir) never sees a
+                # half-written entry
+                tmp = dest + f".seed.{os.getpid()}"
+                with open(tmp, "wb") as out:
+                    out.write(src.read())
+                os.replace(tmp, dest)
+    except (OSError, tarfile.TarError):
+        pass
+
+
 def enable_compile_cache() -> None:
     """Point JAX's persistent compilation cache at a repo-local dir.
 
@@ -76,6 +121,7 @@ def enable_compile_cache() -> None:
 
     try:
         os.makedirs(cache_dir, exist_ok=True)
+        seed_compile_cache(cache_dir)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         try:

@@ -77,3 +77,55 @@ def test_strict_config_env(tmp_path, monkeypatch):
         get_configs(str(p))
     monkeypatch.delenv("PODTPU_STRICT_CONFIG")
     get_configs(str(p))  # warning only
+
+
+def test_seed_compile_cache(tmp_path, monkeypatch):
+    """The tracked seed tarball restores a wiped .jax_cache/ — missing
+    entries extracted, existing entries never clobbered, non-cache and
+    path-traversal member names neutralized (flattened to basename)."""
+    import io
+    import os
+    import tarfile
+
+    from podtpu.config import seed_compile_cache
+
+    seed = tmp_path / ".jax_cache_seed.tar"
+
+    def add(tf, name, payload):
+        data = payload.encode()
+        info = tarfile.TarInfo(name)
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+
+    with tarfile.open(seed, "w") as tf:
+        add(tf, "./jit_train_step-aaaa-cache", "seeded")
+        add(tf, "./jit_init_fn-bbbb-cache", "seeded")
+        add(tf, "../jit_evil-cccc-cache", "traversal")
+        add(tf, "./notes.txt", "not a cache entry")
+
+    cache_dir = tmp_path / "cache"
+    cache_dir.mkdir()
+    (cache_dir / "jit_init_fn-bbbb-cache").write_text("preexisting")
+
+    # seed_compile_cache derives the seed path from the repo root; redirect
+    # just that join to the fixture tarball
+    real_join = os.path.join
+
+    def fake_join(*parts):
+        if parts and parts[-1] == ".jax_cache_seed.tar":
+            return str(seed)
+        return real_join(*parts)
+
+    monkeypatch.setattr(os.path, "join", fake_join)
+    seed_compile_cache(str(cache_dir))
+    monkeypatch.undo()
+
+    assert (cache_dir / "jit_train_step-aaaa-cache").read_text() == "seeded"
+    # existing entries are never overwritten
+    assert (cache_dir / "jit_init_fn-bbbb-cache").read_text() == "preexisting"
+    # traversal name flattened inside the cache dir, nothing escapes it
+    assert (cache_dir / "jit_evil-cccc-cache").read_text() == "traversal"
+    assert not (tmp_path / "jit_evil-cccc-cache").exists()
+    assert not (cache_dir / "notes.txt").exists()
+    # no temp files left behind
+    assert not list(cache_dir.glob("*.seed.*"))
