@@ -86,6 +86,43 @@ def generate(
     }
 
 
+def generate_classification(
+    out_dir: str,
+    n_per_class: int = 200,
+    size: int = 64,
+    num_classes: int = 20,
+    seed: int = 0,
+) -> list[str]:
+    """Write a tiny-imagenet-style imagefolder classification set.
+
+    The analog of the tiny-imagenet set the reference pretrains darknet19
+    on (models/backbone/darknet.py:96-150): per-class subdirectories of
+    64x64 JPEGs, consumable by ``pretrain_darknet.py``. Classes are the
+    SAME color-coded shapes as the detection set above (one dominant
+    rectangle of ``PALETTE[cls]`` on the same noisy background), so the
+    pretrained backbone's color/edge features transfer to the detection
+    fine-tune — which is the point of the pretrain→fine-tune A/B.
+    Returns the class directory names.
+    """
+    num_classes = min(num_classes, len(PALETTE))
+    rng = np.random.default_rng(seed)
+    classes = []
+    for cls in range(num_classes):
+        cdir = os.path.join(out_dir, f"class{cls:02d}")
+        os.makedirs(cdir, exist_ok=True)
+        classes.append(f"class{cls:02d}")
+        for i in range(n_per_class):
+            img = rng.integers(90, 150, (size, size, 3)).astype(np.uint8)
+            img = cv2.GaussianBlur(img, (5, 5), 0)
+            w = int(rng.integers(size // 6, size // 2))
+            h = int(rng.integers(size // 6, size // 2))
+            x1 = int(rng.integers(0, size - w))
+            y1 = int(rng.integers(0, size - h))
+            cv2.rectangle(img, (x1, y1), (x1 + w, y1 + h), PALETTE[cls], -1)
+            cv2.imwrite(os.path.join(cdir, f"{i:05d}.jpg"), img)
+    return classes
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)

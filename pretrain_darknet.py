@@ -71,6 +71,8 @@ def main():
     ap.add_argument("--out", type=str, default="darknet19_pretrained.npz")
     ap.add_argument("--model", type=str, default="darknet19",
                     choices=["darknet19", "cspdarknet53"])
+    ap.add_argument("--val-data", type=str, default=None,
+                    help="imagefolder val split; top-1 evaluated per epoch")
     ap.add_argument("--platform", type=str, default=None)
     args = ap.parse_args()
     setup_platform(args.platform)
@@ -78,6 +80,9 @@ def main():
     ds = ImageFolderDataset(args.data, args.size)
     num_classes = len(ds.classes)
     print(f"{len(ds)} images / {num_classes} classes")
+    val_ds = ImageFolderDataset(args.val_data, args.size) if args.val_data else None
+    if val_ds is not None:
+        assert val_ds.classes == ds.classes, "train/val class sets differ"
 
     if args.model == "cspdarknet53":
         from podtpu.models.yolov4 import CSPDarknet53Classifier
@@ -120,6 +125,26 @@ def main():
         params = optax.apply_updates(params, upd)
         return params, updates["batch_stats"], opt_state, loss, acc
 
+    @jax.jit
+    def eval_step(params, batch_stats, imgs, labels):
+        logits = model.apply({"params": params, "batch_stats": batch_stats},
+                             imgs, train=False)
+        return (jnp.argmax(logits, -1) == labels).sum()
+
+    def evaluate(params, batch_stats) -> float:
+        """Top-1 over the val imagefolder (full fixed-size batches; the
+        ragged tail is dropped so one compiled program covers every chunk)."""
+        vb = min(args.batch, len(val_ds))
+        correct = total = 0
+        for b in range(len(val_ds) // vb):
+            samples = [val_ds.get(i, seed=0)  # seed only gates the train-time flip
+                       for i in range(b * vb, (b + 1) * vb)]
+            imgs = jnp.asarray(np.stack([s[0] for s in samples]))
+            labels = jnp.asarray(np.array([s[1] for s in samples]))
+            correct += int(eval_step(params, batch_stats, imgs, labels))
+            total += vb
+        return correct / max(1, total)
+
     order_rng = np.random.default_rng(0)
     for epoch in range(args.epochs):
         order = order_rng.permutation(len(ds))
@@ -136,8 +161,12 @@ def main():
             )
             losses.append(float(loss))
             accs.append(float(acc))
+        val_msg = ""
+        if val_ds is not None:
+            val_msg = f" val_top1={evaluate(params, batch_stats):.4f}"
         print(f"epoch {epoch}: loss={np.mean(losses):.4f} "
-              f"acc={np.mean(accs):.4f} ({time.time() - t0:.1f}s)")
+              f"acc={np.mean(accs):.4f}{val_msg} ({time.time() - t0:.1f}s)",
+              flush=True)
 
     # save flat npz compatible with detector partial-load (shared
     # 'backbone' scope)
