@@ -87,7 +87,11 @@ def _hb(msg: str) -> None:
 
 def worker() -> None:
     """The actual measurement. Heartbeats on stderr, final JSON on stdout."""
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    # PODTPU_COMPILE_CACHE_DIR override keeps tools/refresh_cache_seed.py's
+    # verify leg honest: it points this at an EMPTY dir seeded only from the
+    # tarball, proving wipe-recovery rather than re-reading the live cache.
+    cache_dir = os.environ.get("PODTPU_COMPILE_CACHE_DIR") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
     # A workspace reset wipes the untracked cache dir while the cold compile
     # (456-569 s) exceeds the capture budget; re-seed from the tracked
@@ -108,6 +112,7 @@ def worker() -> None:
 
     _hb("init_start: importing jax + attaching to device backend")
     import jax
+    import jaxlib
 
     # Persistent compilation cache: the batch-128 train step compiles over
     # the tunnel once ever; later captures reload the serialized executable.
@@ -119,13 +124,55 @@ def worker() -> None:
         pass
 
     devs = jax.devices()
+    # version drift is the one thing that silently strands BOTH warm paths
+    # (AOT fingerprint + persistent-cache key); log it every capture so a
+    # failed tail correlates itself against RESULTS.md headers
+    _hb(f"versions: jax {jax.__version__} jaxlib {jaxlib.__version__} "
+        f"device {devs[0].device_kind}")
     _hb(f"init_done: {len(devs)} device(s), platform={devs[0].platform}")
+
+    # Fast path: deserialized AOT executable (tools/bench_aot.py) — no
+    # tracing, no lowering, no compile; the ~142 s client-side retrace the
+    # warm trace+cache path still paid (RESULTS.md round-13) is gone.
+    if os.environ.get("BENCH_DISABLE_AOT", "0") != "1":
+        from tools.bench_aot import StaleArtifact, bench_aot
+
+        try:
+            ips = bench_aot(batch=BATCH, warmup=3, iters=10, hb=_hb)
+            _emit(ips)
+            return
+        except StaleArtifact as e:
+            _hb(f"AOT ARTIFACT STALE: {e} — falling back to the "
+                "trace+persistent-cache path")
+    else:
+        _hb("AOT path disabled (BENCH_DISABLE_AOT=1); using trace+cache path")
 
     from __graft_entry__ import _flagship_cfg
     from tools.bench_family import bench
 
+    def cache_entries() -> set[str]:
+        try:
+            return {f for f in os.listdir(cache_dir)
+                    if f.startswith("jit_train_step-")}
+        except OSError:
+            return set()
+
+    before = cache_entries()
     cfg = _flagship_cfg(input_size=416, compute_dtype="bfloat16")
     ips = bench(cfg, BATCH, warmup=3, iters=10, hb=_hb)
+    if cache_entries() - before:
+        # the compile MISSED the seeded cache and wrote a fresh entry — the
+        # committed seed no longer matches this program (jax/libtpu bump or
+        # train-step change). Say so LOUDLY: without this line the next
+        # fresh-workspace capture dies as a generic compile-timeout.
+        _hb("SEED STALE (persistent-cache MISS): .jax_cache_seed.tar does "
+            "not contain this train-step program — run "
+            "tools/refresh_cache_seed.py and commit the refreshed seed + "
+            ".bench_aot.bin")
+    _emit(ips)
+
+
+def _emit(ips: float) -> None:
     print(json.dumps({
         "metric": "yolov3_416_train_images_per_sec_per_chip",
         "value": round(ips, 2),

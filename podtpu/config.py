@@ -54,7 +54,7 @@ DEFAULTS: dict[str, Any] = {
 }
 
 
-def seed_compile_cache(cache_dir: str) -> None:
+def seed_compile_cache(cache_dir: str, seed_path: str | None = None) -> None:
     """Populate ``cache_dir`` from the tracked seed tarball, if present.
 
     The untracked ``.jax_cache/`` directory is wiped by any workspace reset
@@ -64,19 +64,33 @@ def seed_compile_cache(cache_dir: str) -> None:
     round-4 capture die rc-nonzero mid-compile for exactly this reason).
     ``.jax_cache_seed.tar`` at the repo root is committed to git, so it
     survives every reset; extracting it here makes the first CLI/bench run
-    in a fresh checkout hit a warm cache. Only missing entries are written;
-    any failure is non-fatal (the cache then just warms the slow way).
+    in a fresh checkout hit a warm cache. Only missing entries are written.
+    Failures are non-fatal (the cache then just warms the slow way) but
+    WARN — a corrupt seed that no-opped silently would resurface later as
+    an undiagnosable bench compile-timeout.
+
+    ``seed_path`` (or env ``PODTPU_CACHE_SEED``) overrides the tarball
+    location — primarily for tests.
     """
     import os
     import tarfile
+    import warnings
 
-    seed = os.path.join(
+    seed = seed_path or os.environ.get("PODTPU_CACHE_SEED") or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".jax_cache_seed.tar",
     )
     if not os.path.isfile(seed):
         return
     try:
+        # a process killed mid-extraction (the bench watchdog kills workers)
+        # strands its temp files; PIDs recycle, so clear leftovers first
+        for stale in os.listdir(cache_dir):
+            if ".seed." in stale:
+                try:
+                    os.unlink(os.path.join(cache_dir, stale))
+                except OSError:
+                    pass
         with tarfile.open(seed, "r") as tf:
             for member in tf.getmembers():
                 name = os.path.basename(member.name)
@@ -95,8 +109,9 @@ def seed_compile_cache(cache_dir: str) -> None:
                 with open(tmp, "wb") as out:
                     out.write(src.read())
                 os.replace(tmp, dest)
-    except (OSError, tarfile.TarError):
-        pass
+    except (OSError, tarfile.TarError) as e:
+        warnings.warn(f"compile-cache seed {seed} could not be extracted "
+                      f"({e!r}); the cache will warm the slow way")
 
 
 def enable_compile_cache() -> None:

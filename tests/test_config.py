@@ -107,18 +107,10 @@ def test_seed_compile_cache(tmp_path, monkeypatch):
     cache_dir.mkdir()
     (cache_dir / "jit_init_fn-bbbb-cache").write_text("preexisting")
 
-    # seed_compile_cache derives the seed path from the repo root; redirect
-    # just that join to the fixture tarball
-    real_join = os.path.join
+    # a stale temp file from a previously killed extraction must be cleaned
+    (cache_dir / "jit_x-cache.seed.12345").write_text("stale temp")
 
-    def fake_join(*parts):
-        if parts and parts[-1] == ".jax_cache_seed.tar":
-            return str(seed)
-        return real_join(*parts)
-
-    monkeypatch.setattr(os.path, "join", fake_join)
-    seed_compile_cache(str(cache_dir))
-    monkeypatch.undo()
+    seed_compile_cache(str(cache_dir), seed_path=str(seed))
 
     assert (cache_dir / "jit_train_step-aaaa-cache").read_text() == "seeded"
     # existing entries are never overwritten
@@ -127,5 +119,24 @@ def test_seed_compile_cache(tmp_path, monkeypatch):
     assert (cache_dir / "jit_evil-cccc-cache").read_text() == "traversal"
     assert not (tmp_path / "jit_evil-cccc-cache").exists()
     assert not (cache_dir / "notes.txt").exists()
-    # no temp files left behind
+    # no temp files left behind — including the pre-existing stale one
     assert not list(cache_dir.glob("*.seed.*"))
+
+
+def test_seed_compile_cache_env_override_and_corrupt_warns(tmp_path, monkeypatch):
+    """PODTPU_CACHE_SEED relocates the tarball; a corrupt seed warns
+    instead of no-opping silently (it would otherwise resurface later as an
+    undiagnosable bench compile-timeout)."""
+    import warnings
+
+    from podtpu.config import seed_compile_cache
+
+    bad = tmp_path / "corrupt.tar"
+    bad.write_bytes(b"this is not a tarball")
+    cache_dir = tmp_path / "cache"
+    cache_dir.mkdir()
+    monkeypatch.setenv("PODTPU_CACHE_SEED", str(bad))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        seed_compile_cache(str(cache_dir))
+    assert any("could not be extracted" in str(w.message) for w in caught)

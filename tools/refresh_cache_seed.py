@@ -1,24 +1,32 @@
-"""Repopulate .jax_cache/ for the driver bench and re-pack .jax_cache_seed.tar.
+"""Refresh the two tracked warm-capture artifacts after train-step changes.
 
-Run this ONCE after any change to the flagship train-step path (model,
-loss, encoder, steps.py, optimizer wiring): the persistent-cache key is a
-hash of the traced HLO, so such a change strands the committed seed (the
-seed then harmlessly misses and the capture falls back to the 456-569 s
-cold compile — larger than the 540 s capture budget, i.e. a guaranteed
-failed capture; see RESULTS.md round-13).
+The driver bench must be WARM to fit its budget (cold compile 456-569 s >
+the 540 s capture window). Two tracked artifacts provide that warmth, both
+keyed to the exact traced program — so BOTH go stale when the flagship
+train-step path changes (model, loss, encoder, steps.py, optimizer wiring)
+or when jax/jaxlib/libtpu versions bump:
 
-What it does:
+  * ``.bench_aot.bin``     — the serialized compiled executable; bench.py's
+                             fast path executes it with zero retrace
+                             (tools/bench_aot.py);
+  * ``.jax_cache_seed.tar``— persistent-compile-cache entries; the fallback
+                             path's compile hits these instead of going cold.
 
-  1. runs ``python bench.py`` with long watchdog budgets so the cold
-     compile completes and writes the new train-step executable into
-     .jax_cache/ (needs the real TPU; ~8-10 min cold, ~3 min if warm);
-  2. re-packs ONLY the capture-critical entries (the flagship
-     ``jit_train_step`` + the small pre-compile programs — not the
-     optional per-family/K-step programs other tools may have cached)
-     into .jax_cache_seed.tar;
-  3. prints the git command to commit the refreshed seed.
+This tool refreshes both in one command on the real TPU:
 
-Usage:  python tools/refresh_cache_seed.py [--skip-bench]
+  1. runs ``python bench.py`` with long watchdog budgets and the AOT path
+     DISABLED, so the traced compile completes and (re)writes the
+     train-step entry into .jax_cache/;
+  2. packs the AOT artifact (``tools/bench_aot.py pack`` — a cache-hit
+     compile + executable serialization);
+  3. re-packs the seed tarball with ONLY the newest ``jit_train_step``
+     entry plus the small pre-compile programs (stale/superseded train-step
+     programs otherwise accrete ~21-30 MB git blobs per refresh — the
+     round-4 seed had bloated to 79 MB with two dead entries);
+  4. verifies the refreshed seed actually HITs: reruns bench.py (AOT
+     disabled) and asserts the compile wrote no new train-step entry.
+
+Usage:  python tools/refresh_cache_seed.py [--skip-bench] [--skip-verify]
 """
 
 from __future__ import annotations
@@ -33,73 +41,121 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CACHE = os.path.join(REPO, ".jax_cache")
 SEED = os.path.join(REPO, ".jax_cache_seed.tar")
 
-# Entries the driver capture needs. Everything bench.py's worker compiles
-# is prefixed with one of these; per-family A/B programs (bench_family on
-# other models / ksteps>1) also land as jit_train_step but are much
-# smaller than the flagship batch-128 program — we keep every
-# jit_train_step entry written by the bench run to stay simple, and cap
-# total size as a sanity check.
-PREFIXES = (
-    "jit_train_step-",
+# Small always-needed programs (state init, on-device batch synthesis, rng
+# plumbing) — a few hundred KB total. jit_train_step is handled separately:
+# only the NEWEST entry is packed.
+SMALL_PREFIXES = (
     "jit_init_fn-",
     "jit__lambda-",
     "jit__threefry_seed-",
     "jit_broadcast_in_dim-",
     "jit_convert_element_type-",
 )
-MAX_SEED_BYTES = 200 * 1024 * 1024
+MAX_SEED_BYTES = 50 * 1024 * 1024
+
+
+def _train_step_entries() -> list[str]:
+    return sorted(
+        (f for f in os.listdir(CACHE)
+         if f.startswith("jit_train_step-") and f.endswith("-cache")),
+        key=lambda f: os.path.getmtime(os.path.join(CACHE, f)),
+    )
+
+
+def _run_bench(why: str, cache_dir: str | None = None) -> int:
+    env = dict(
+        os.environ,
+        BENCH_DEADLINE_S="3000",
+        BENCH_ATTEMPT_TIMEOUT_S="2400",
+        BENCH_INIT_TIMEOUT_S="600",
+        BENCH_COMPILE_TIMEOUT_S="2300",
+        BENCH_DISABLE_AOT="1",  # force the traced path so the cache is hit
+    )
+    if cache_dir:
+        env["PODTPU_COMPILE_CACHE_DIR"] = cache_dir
+    print(f"running bench.py ({why}; AOT disabled, long budgets)...",
+          flush=True)
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")], cwd=REPO, env=env,
+    ).returncode
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument(
-        "--skip-bench", action="store_true",
-        help="only re-pack the tarball from the current .jax_cache/",
-    )
+    ap.add_argument("--skip-bench", action="store_true",
+                    help="only re-pack artifacts from the current .jax_cache/")
+    ap.add_argument("--skip-verify", action="store_true",
+                    help="skip the second bench run that proves the cache hit")
     args = ap.parse_args()
 
     if not args.skip_bench:
-        env = dict(
-            os.environ,
-            BENCH_DEADLINE_S="3000",
-            BENCH_ATTEMPT_TIMEOUT_S="2400",
-            BENCH_INIT_TIMEOUT_S="600",
-            BENCH_COMPILE_TIMEOUT_S="2300",
-        )
-        print("running bench.py with long budgets to (re)populate the cache "
-              "(cold compile over the tunnel is ~8-10 min)...", flush=True)
-        rc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            cwd=REPO, env=env,
-        ).returncode
+        rc = _run_bench("populating .jax_cache/")
         if rc != 0:
-            print(f"bench.py failed rc={rc}; not touching the seed",
+            print(f"bench.py failed rc={rc}; not touching the artifacts",
                   file=sys.stderr)
             return rc
 
-    entries = sorted(
-        f for f in os.listdir(CACHE)
-        if f.endswith("-cache") and f.startswith(PREFIXES)
-    )
-    if not any(f.startswith("jit_train_step-") for f in entries):
+    steps = _train_step_entries()
+    if not steps:
         print("no jit_train_step entry in .jax_cache/ — refusing to pack a "
               "seed that cannot warm the capture", file=sys.stderr)
         return 1
+    newest_step = steps[-1]
+    if len(steps) > 1:
+        print(f"keeping newest of {len(steps)} jit_train_step entries: "
+              f"{newest_step} (dropping {len(steps) - 1} stale)")
+
+    # AOT artifact: compile (cache hit after step 1) + serialize. A
+    # subprocess so its jax config cannot leak into anything else.
+    print("packing .bench_aot.bin (AOT executable)...", flush=True)
+    rc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "bench_aot.py"), "pack"],
+        cwd=REPO,
+    ).returncode
+    if rc != 0:
+        print(f"bench_aot pack failed rc={rc}; seed will still be refreshed "
+              "(the fallback path stays warm)", file=sys.stderr)
+
+    entries = [newest_step] + sorted(
+        f for f in os.listdir(CACHE)
+        if f.endswith("-cache") and f.startswith(SMALL_PREFIXES)
+    )
     total = sum(os.path.getsize(os.path.join(CACHE, f)) for f in entries)
     if total > MAX_SEED_BYTES:
         print(f"seed would be {total/1e6:.0f} MB (> {MAX_SEED_BYTES/1e6:.0f}"
-              " MB cap) — prune stale jit_train_step-* entries from "
-              ".jax_cache/ first (keep the newest)", file=sys.stderr)
+              " MB cap) — the flagship program alone should be ~30 MB; "
+              "inspect .jax_cache/ for bloat", file=sys.stderr)
         return 1
-
     tmp = SEED + ".tmp"
     with tarfile.open(tmp, "w") as tf:
         for f in entries:
             tf.add(os.path.join(CACHE, f), arcname=f)
     os.replace(tmp, SEED)
     print(f"packed {len(entries)} entries ({total/1e6:.1f} MB) -> {SEED}")
-    print("now commit it:  git add .jax_cache_seed.tar && "
-          "git commit -m 'Refresh compile-cache seed'")
+
+    if not args.skip_verify and not args.skip_bench:
+        # wipe-recovery rehearsal: run against an EMPTY cache dir seeded
+        # only from the fresh tarball; a MISS writes a second train-step
+        # entry there, which fails the assert.
+        import shutil
+
+        vdir = os.path.join(REPO, ".jax_cache_verify")
+        shutil.rmtree(vdir, ignore_errors=True)
+        os.makedirs(vdir)
+        rc = _run_bench("verifying the seeded key HITs from a fresh dir",
+                        cache_dir=vdir)
+        got = sorted(f for f in os.listdir(vdir)
+                     if f.startswith("jit_train_step-"))
+        shutil.rmtree(vdir, ignore_errors=True)
+        if rc != 0 or got != [newest_step]:
+            print(f"VERIFY FAILED: rc={rc}, train-step entries={got} "
+                  f"(expected exactly [{newest_step}]) — the seed does NOT "
+                  "warm a fresh workspace", file=sys.stderr)
+            return 1
+        print("verified: fresh-dir run hit the seeded entry (no recompile)")
+
+    print("now commit:  git add .jax_cache_seed.tar .bench_aot.bin && "
+          "git commit -m 'Refresh warm-capture artifacts'")
     return 0
 
 
