@@ -191,7 +191,7 @@ KNOWN_KEYS: dict[str, Any] = {
     "rehearsal_decay_step": None,
     "optimizer_options": {"lr", "momentum", "weight_decay", "nesterov",
                           "clip_grad_norm", "accum_steps", "skip_nonfinite",
-                          "flat"},
+                          "flat", "decay_policy"},
     "scheduler_options": {"burn_in", "steps", "scales", "milestones",
                           "gamma", "eta_min", "eta_max", "max_cycles",
                           "T_0", "T_mult", "T_up"},

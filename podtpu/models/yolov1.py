@@ -19,6 +19,10 @@ class YoloV1(nn.Module):
     num_boxes: int = 2
     dtype: jnp.dtype = jnp.float32
     qat: bool = False
+    # rate 0.0 short-circuits flax Dropout even in train mode — the grad/
+    # trajectory parity tests use it to compare train-mode BN without
+    # stochastic dropout (the torch side sets its Dropout module to eval)
+    dropout_rate: float = 0.5
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -31,7 +35,7 @@ class YoloV1(nn.Module):
         x = ConvBnAct(256, 3, dtype=self.dtype, qat=self.qat, name="head4")(x, train)
 
         x = x.reshape(x.shape[0], -1)
-        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         out = 7 * 7 * (self.num_classes + 5 * self.num_boxes)
         x = nn.Dense(out, dtype=self.dtype, param_dtype=jnp.float32, name="fc")(x)
         return x.astype(jnp.float32)

@@ -1,11 +1,21 @@
 """Optimizers with the reference's parameter-group decay policy.
 
-The active v3 recipe builds three torch param groups — BN weights (no decay),
-conv/linear weights (decay), biases (no decay) — on nesterov SGD
-(module/yolov3_detector.py:49-64). In a flax param tree that grouping is
-exactly "leaves named ``kernel`` decay; ``scale``/``bias``/BN leaves don't",
-implemented with an ``optax.add_decayed_weights`` mask (coupled decay — added
-to the gradient before momentum, like torch SGD).
+The reference has TWO decay policies, one per detector module:
+
+* yolov3_detector.py:49-64 (v3 and v4-tiny recipes) builds three torch
+  param groups — BN weights (no decay), conv/linear weights (decay),
+  biases (no decay). In a flax param tree that grouping is exactly
+  "leaves named ``kernel`` decay; ``scale``/``bias``/BN leaves don't",
+  implemented with an ``optax.add_decayed_weights`` mask (coupled decay —
+  added to the gradient before momentum, like torch SGD).
+* yolov1_detector.py:47-56 and yolov2_detector.py:48-52 pass
+  ``self.model.parameters()`` straight to the optimizer — ONE group,
+  weight decay on EVERY parameter including BN scales and biases.
+
+``optimizer_options.decay_policy: kernels | all`` selects; the default
+follows the model family (v1/v2 → ``all``, everything else → ``kernels``)
+so each recipe matches its reference detector bit-for-bit
+(tests/test_reference_grad_parity.py locks both in trajectory lockstep).
 
 The generic registry (sgd/adam/radam/adamw — utils/module_select.py:15-24) is
 also provided; adamw uses decoupled decay like torch.
@@ -34,6 +44,20 @@ def kernel_decay_mask(params) -> object:
     mask_flat = [is_kernel(p) for p in paths]
     treedef = jax.tree_util.tree_structure(params)
     return jax.tree_util.tree_unflatten(treedef, mask_flat)
+
+
+def decay_policy(cfg: dict) -> str:
+    """``kernels`` (v3-style BN/bias-exempt mask) or ``all`` (v1/v2-style
+    single-group uniform decay); explicit ``optimizer_options.decay_policy``
+    wins, else the model family's reference detector decides."""
+    opts = dict(cfg.get("optimizer_options", {}))
+    policy = opts.get("decay_policy")
+    if policy is None:
+        policy = "all" if cfg.get("model") in ("yolov1", "yolov2") else "kernels"
+    if policy not in ("kernels", "all"):
+        raise ValueError(f"unknown decay_policy '{policy}' "
+                         "(expected kernels | all)")
+    return policy
 
 
 def _add_flat_decayed_weights(weight_decay: float, coeff_vec) -> optax.GradientTransformation:
@@ -105,7 +129,9 @@ def _build_optimizer(cfg: dict, params) -> optax.GradientTransformation:
     name = cfg.get("optimizer", "sgd")
     schedule = build_schedule(cfg)
     weight_decay = float(opts.get("weight_decay", 0.0))
-    mask = kernel_decay_mask(params)
+    # mask=None decays every leaf — torch's single-group SGD(parameters())
+    mask = (kernel_decay_mask(params) if decay_policy(cfg) == "kernels"
+            else None)
 
     clip_norm = opts.get("clip_grad_norm")  # stability knob (default off)
 
@@ -129,11 +155,13 @@ def _build_optimizer(cfg: dict, params) -> optax.GradientTransformation:
             chain = []
             if weight_decay:
                 # per-element decay coefficients in ravel order (the masked
-                # add_decayed_weights equivalent: kernels 1, bn/bias 0)
+                # add_decayed_weights equivalent: kernels 1, bn/bias 0;
+                # policy 'all' = every coefficient 1)
                 coeff = jax.tree_util.tree_map(
                     lambda p, m: jnp.full(p.shape, 1.0 if m else 0.0,
                                           p.dtype),
-                    params, mask)
+                    params, mask if mask is not None
+                    else jax.tree_util.tree_map(lambda _: True, params))
                 coeff_vec = jax.flatten_util.ravel_pytree(coeff)[0]
                 chain.append(_add_flat_decayed_weights(weight_decay,
                                                        coeff_vec))

@@ -32,7 +32,8 @@ from podtpu.export.torch_port import (  # noqa: E402
     podtpu_to_torch,
     torch_to_podtpu,
 )
-from podtpu.losses import yolov2_loss_v2, yolov3_loss_v2  # noqa: E402
+from podtpu.losses import yolov1_loss, yolov2_loss_v2, yolov3_loss_v2  # noqa: E402
+from podtpu.models.yolov1 import YoloV1  # noqa: E402
 from podtpu.models.yolov2 import YoloV2  # noqa: E402
 from podtpu.models.yolov3 import YoloV3  # noqa: E402
 from podtpu.models.yolov4_tiny import YoloV4Tiny  # noqa: E402
@@ -48,11 +49,18 @@ pytestmark = pytest.mark.slow
 
 C = 20
 B, T, S = 2, 8, 128
+# yolov1's flatten->linear head hard-codes the 448 deployment resolution
+# (models/detector/yolov1.py:38: Linear(256*7*7, ...))
+_SIZE = {"yolov1": 448, "yolov2": S, "yolov3": S, "yolov4-tiny": S}
 
 
 def _build_reference(name: str):
     torch.manual_seed(7)
     dk = import_reference("models.backbone.darknet")
+    if name == "yolov1":
+        det = import_reference("models.detector.yolov1")
+        bb = dk.darknet19(pretrained="", features_only=True)
+        return det.YoloV1(bb, num_classes=C, num_boxes=2)
     if name == "yolov2":
         det = import_reference("models.detector.yolov2")
         bb = dk.darknet19(pretrained="", features_only=True, out_indices=[4, 5])
@@ -64,6 +72,45 @@ def _build_reference(name: str):
         return det.YoloV3(bb, num_classes=C, num_anchors=9)
     det = import_reference("models.detector.yolov4_tiny")
     return det.YoloV4TinyV4(num_classes=C, num_anchors=9)
+
+
+def _train_mode_no_dropout(ref) -> None:
+    """train() for BN, but Dropout modules to eval — the jax side disables
+    dropout via ``YoloV1(dropout_rate=0.0)`` (stochastic draws can never
+    match across frameworks; BN train-mode statistics are the parity
+    surface here)."""
+    ref.train()
+    for m in ref.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.eval()
+
+
+def _build_torch_optimizer(ref, name: str, lr, momentum, wd):
+    """The reference's EXACT per-detector optimizer construction:
+    yolov1/yolov2 pass ``model.parameters()`` as ONE group (decay on every
+    parameter — yolov1_detector.py:47-56, yolov2_detector.py:48-52); the
+    v3 module splits BN-weight/kernel/bias groups with kernel-only decay
+    (yolov3_detector.py:52-64, also used by the v4-tiny recipe)."""
+    import torch.nn as nn
+
+    g0, g1, g2 = [], [], []
+    for v in ref.modules():
+        if hasattr(v, "bias") and isinstance(v.bias, nn.Parameter):
+            g2.append(v.bias)
+        if isinstance(v, nn.BatchNorm2d):
+            g0.append(v.weight)
+        elif hasattr(v, "weight") and isinstance(v.weight, nn.Parameter):
+            g1.append(v.weight)
+    id2name = {id(p): k for k, p in ref.named_parameters()}
+    kernel_keys = {id2name[id(p)] for p in g1}
+    if name in ("yolov1", "yolov2"):
+        optim = torch.optim.SGD(ref.parameters(), lr=lr, momentum=momentum,
+                                nesterov=True, weight_decay=wd)
+    else:
+        optim = torch.optim.SGD(g0, lr=lr, momentum=momentum, nesterov=True)
+        optim.add_param_group({"params": g1, "weight_decay": wd})
+        optim.add_param_group({"params": g2})
+    return optim, kernel_keys
 
 
 def _grad_err_table(t_grads: dict, j_torch_layout: dict):
@@ -97,27 +144,54 @@ def _grad_direction_table(t_grads: dict, j_torch_layout: dict):
 # jax graph differs from its own f32 result by up to 2e-1 on the same
 # tensors where torch-f32 disagrees, i.e. the discrepancy is conditioning,
 # not semantics. There, parity is asserted as direction (cosine) + norm.
+# yolov1 adds a flatten->linear head on the same deep backbone: direction.
 _GRAD_CRITERIA = {"yolov4-tiny": ("elementwise", 2e-3),
+                  "yolov1": ("direction", (0.999, 0.02)),
                   "yolov2": ("direction", (0.999, 0.02)),
                   "yolov3": ("direction", (0.999, 0.02))}
 
 
-@pytest.mark.parametrize("name", ["yolov2", "yolov3", "yolov4-tiny"])
+def _podtpu_model(name: str):
+    return {"yolov1": lambda: YoloV1(num_classes=C, num_boxes=2,
+                                     dropout_rate=0.0),
+            "yolov2": lambda: YoloV2(num_classes=C, num_anchors=5),
+            "yolov3": lambda: YoloV3(num_classes=C, num_anchors=9),
+            "yolov4-tiny": lambda: YoloV4Tiny(num_classes=C,
+                                              num_anchors=9)}[name]()
+
+
+def _torch_loss_fn(name: str, size: int):
+    if name == "yolov1":
+        loss_mod = import_reference("models.loss.yolov1_loss")
+        return loss_mod.YoloV1Loss(C, 2)
+    if name == "yolov2":
+        loss_mod = import_reference("models.loss.yolov2_loss")
+        return loss_mod.YoloV2LossV2(C, VOC_SCALED_ANCHORS)
+    loss_mod = import_reference("models.loss.yolov3_loss")
+    return loss_mod.YoloV3LossV2(C, VOC_ANCHORS, size)
+
+
+def _jax_loss_fn(name: str, size: int):
+    if name == "yolov1":
+        return lambda preds, tgt: yolov1_loss(preds, tgt, C, 2)
+    if name == "yolov2":
+        return lambda preds, tgt: yolov2_loss_v2(preds, tgt, C,
+                                                 VOC_SCALED_ANCHORS)
+    return lambda preds, tgt: yolov3_loss_v2(preds, tgt, C, VOC_ANCHORS, size)
+
+
+@pytest.mark.parametrize("name", ["yolov1", "yolov2", "yolov3", "yolov4-tiny"])
 def test_gradient_parity(name):
+    size = _SIZE[name]
     ref = _build_reference(name)
-    ref.train()
+    _train_mode_no_dropout(ref)
 
     variables = torch_to_podtpu(ref.state_dict(), name)
-    x = normal((B, 3, S, S), seed=900)
+    x = normal((B, 3, size, size), seed=900)
     tgt = make_targets(B, T, C, 17)
 
     # --- torch side: forward (train-mode BN) + active loss + backward
-    if name == "yolov2":
-        loss_mod = import_reference("models.loss.yolov2_loss")
-        t_loss_fn = loss_mod.YoloV2LossV2(C, VOC_SCALED_ANCHORS)
-    else:
-        loss_mod = import_reference("models.loss.yolov3_loss")
-        t_loss_fn = loss_mod.YoloV3LossV2(C, VOC_ANCHORS, S)
+    t_loss_fn = _torch_loss_fn(name, size)
     ref.zero_grad()
     t_out = ref(torch.from_numpy(x))
     t_loss = t_loss_fn(list(t_out) if isinstance(t_out, tuple) else t_out,
@@ -126,10 +200,8 @@ def test_gradient_parity(name):
     t_grads = {k: p.grad for k, p in ref.named_parameters()}
 
     # --- jax side: same weights, same batch, jax.grad
-    model = {"yolov2": lambda: YoloV2(num_classes=C, num_anchors=5),
-             "yolov3": lambda: YoloV3(num_classes=C, num_anchors=9),
-             "yolov4-tiny": lambda: YoloV4Tiny(num_classes=C,
-                                               num_anchors=9)}[name]()
+    model = _podtpu_model(name)
+    j_loss_fn = _jax_loss_fn(name, size)
     copy = lambda v: jnp.array(v, copy=True)  # noqa: E731 — see sgd test
     stats = jax.tree_util.tree_map(copy, variables["batch_stats"])
     params = jax.tree_util.tree_map(copy, variables["params"])
@@ -139,9 +211,7 @@ def test_gradient_parity(name):
     def scalar_loss(p):
         preds, _ = model.apply({"params": p, "batch_stats": stats}, x_j,
                                train=True, mutable=["batch_stats"])
-        if name == "yolov2":
-            return yolov2_loss_v2(preds, tgt_j, C, VOC_SCALED_ANCHORS)
-        return yolov3_loss_v2(preds, tgt_j, C, VOC_ANCHORS, S)
+        return j_loss_fn(preds, tgt_j)
 
     j_loss, j_grads = jax.value_and_grad(scalar_loss)(params)
     assert float(j_loss) == pytest.approx(float(t_loss), rel=2e-4)
@@ -196,46 +266,29 @@ def _run_trajectory(name: str, mutate: str | None = None) -> dict:
     bound calibration: ``no_nesterov`` | ``wd_x10`` | ``sched_off1``.
     """
     ref = _build_reference(name)
-    ref.train()
+    _train_mode_no_dropout(ref)
+    size = _SIZE[name]
     lr, momentum, wd = 1e-3, 0.9, 5e-4
     burn_in, decay_steps, scales = 5, [15], [0.1]
+    n_steps = _TRAJ_STEPS
+    if name == "yolov1":
+        # 448^2 forwards are ~12x the 128^2 ones; a compressed window keeps
+        # the same schedule phases (burn-in ramp, plateau, one step decay)
+        # at a tractable runtime
+        burn_in, decay_steps, n_steps = 3, [8], 12
 
-    import torch.nn as nn
-
-    g0, g1, g2 = [], [], []
-    for v in ref.modules():
-        if hasattr(v, "bias") and isinstance(v.bias, nn.Parameter):
-            g2.append(v.bias)
-        if isinstance(v, nn.BatchNorm2d):
-            g0.append(v.weight)
-        elif hasattr(v, "weight") and isinstance(v.weight, nn.Parameter):
-            g1.append(v.weight)
-    optim = torch.optim.SGD(g0, lr=lr, momentum=momentum, nesterov=True)
-    optim.add_param_group({"params": g1, "weight_decay": wd})
-    optim.add_param_group({"params": g2})
-    # torch-key name of every decayed (conv/linear kernel) parameter, so
-    # update metrics split by group: kernel gradients are well-conditioned
-    # (tight bound, where a decay-mask bug shows), BN scales/biases carry
-    # cancellation-limited gradients (looser bound, see _GRAD_CRITERIA)
-    id2name = {id(p): k for k, p in ref.named_parameters()}
-    decay_keys = {id2name[id(p)] for p in g1}
+    # kernel_keys split update metrics by numeric conditioning: kernel
+    # gradients are well-conditioned (tight bound, where a decay-mask bug
+    # shows), BN scales/biases carry cancellation-limited gradients
+    # (looser bound, see _GRAD_CRITERIA)
+    optim, kernel_keys = _build_torch_optimizer(ref, name, lr, momentum, wd)
     lr_mod = import_reference("module.lr_scheduler")
     sched = lr_mod.YoloLR(optim, burn_in=burn_in, steps=decay_steps,
                           scales=scales)
 
-    if name == "yolov2":
-        loss_mod = import_reference("models.loss.yolov2_loss")
-        t_loss_fn = loss_mod.YoloV2LossV2(C, VOC_SCALED_ANCHORS)
-        model = YoloV2(num_classes=C, num_anchors=5)
-        j_loss_fn = lambda preds, tgt: yolov2_loss_v2(  # noqa: E731
-            preds, tgt, C, VOC_SCALED_ANCHORS)
-    else:
-        loss_mod = import_reference("models.loss.yolov3_loss")
-        t_loss_fn = loss_mod.YoloV3LossV2(C, VOC_ANCHORS, S)
-        model = (YoloV3(num_classes=C, num_anchors=9) if name == "yolov3"
-                 else YoloV4Tiny(num_classes=C, num_anchors=9))
-        j_loss_fn = lambda preds, tgt: yolov3_loss_v2(  # noqa: E731
-            preds, tgt, C, VOC_ANCHORS, S)
+    t_loss_fn = _torch_loss_fn(name, size)
+    model = _podtpu_model(name)
+    j_loss_fn = _jax_loss_fn(name, size)
 
     variables = torch_to_podtpu(ref.state_dict(), name)
     copy = lambda v: jnp.array(v, copy=True)  # noqa: E731
@@ -275,8 +328,8 @@ def _run_trajectory(name: str, mutate: str | None = None) -> dict:
 
     loss_rel, kern_rel, other_rel, upd_cos, bn_rel = [], [], [], [], []
     worst = {"kern_key": "", "other_key": "", "cos_key": "", "bn_key": ""}
-    for step in range(_TRAJ_STEPS):
-        x = normal((B, 3, S, S), seed=7000 + step)
+    for step in range(n_steps):
+        x = normal((B, 3, size, size), seed=7000 + step)
         tgt = make_targets(B, T, C, 7500 + step)
 
         t_pre = {k: v.detach().clone() for k, v in ref.state_dict().items()}
@@ -319,7 +372,7 @@ def _run_trajectory(name: str, mutate: str | None = None) -> dict:
                     step_bn, worst["bn_key"] = e, k
                 continue
             e = float(np.linalg.norm(a - b)) / (na + 1e-30)
-            if k in decay_keys:
+            if k in kernel_keys:
                 if e > step_kern:
                     step_kern, worst["kern_key"] = e, k
             elif e > step_other:
@@ -344,7 +397,7 @@ def _run_trajectory(name: str, mutate: str | None = None) -> dict:
             "bn_rel": bn_rel, **worst}
 
 
-@pytest.mark.parametrize("name", ["yolov2", "yolov3", "yolov4-tiny"])
+@pytest.mark.parametrize("name", ["yolov1", "yolov2", "yolov3", "yolov4-tiny"])
 def test_training_trajectory_lockstep(name):
     """20 full optimizer steps in lockstep with the live reference stack.
 
