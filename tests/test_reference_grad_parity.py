@@ -419,10 +419,16 @@ def test_training_trajectory_lockstep(name):
     kern_rel 0.031 / cos 0.9977 (the floor is the stem conv's
     cancellation-limited gradient, not optimizer semantics — constant
     across steps); nesterov-off and burn-in-off-by-one mutants blow past
-    0.45 / drop below 0.89. A weight-decay mutation is sub-noise HERE by
+    0.45 / drop below 0.89. A weight-decay mutation is sub-noise on v2 by
     recipe arithmetic (early gradients dwarf wd*|p|); decay-mask bugs are
     instead caught bit-level by test_sgd_step_parity on identical
     gradients — the two tests together cover the full update rule.
+
+    yolov1 calibration (round-5, same tool): clean kern_rel 0.024 /
+    cos 0.99938; no_nesterov 0.45/0.904, sched_off1 kern 0.68, and —
+    unlike v2 — wd_x10 IS detected (other_rel 0.675, cos 0.842): v1's
+    single-group decay acts on the large linear-head weights where wd*|p|
+    rivals the gradient. Every mutant breaks at least one bound below.
     """
     d = _run_trajectory(name)
     assert max(d["loss_rel"]) <= 5e-5, (

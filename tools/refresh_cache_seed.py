@@ -54,11 +54,11 @@ SMALL_PREFIXES = (
 MAX_SEED_BYTES = 50 * 1024 * 1024
 
 
-def _train_step_entries() -> list[str]:
+def _train_step_entries(cache_dir: str = CACHE) -> list[str]:
     return sorted(
-        (f for f in os.listdir(CACHE)
+        (f for f in os.listdir(cache_dir)
          if f.startswith("jit_train_step-") and f.endswith("-cache")),
-        key=lambda f: os.path.getmtime(os.path.join(CACHE, f)),
+        key=lambda f: os.path.getmtime(os.path.join(cache_dir, f)),
     )
 
 
@@ -83,21 +83,36 @@ def _run_bench(why: str, cache_dir: str | None = None) -> int:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-bench", action="store_true",
-                    help="only re-pack artifacts from the current .jax_cache/")
+                    help="re-pack from the current .jax_cache/ without "
+                         "running bench (the newest jit_train_step entry "
+                         "there MUST be the flagship program)")
     ap.add_argument("--skip-verify", action="store_true",
                     help="skip the second bench run that proves the cache hit")
     args = ap.parse_args()
 
+    # Populate a FRESH dir (auto-seeded from the current tarball, so an
+    # unchanged program hits instead of recompiling): the shared .jax_cache/
+    # accretes per-family/K-sweep jit_train_step programs whose mtimes can
+    # outdate the flagship's (a cache HIT does not touch the file), so
+    # "newest entry in .jax_cache/" can select the WRONG program. In the
+    # fresh dir the newest train-step entry is by construction the program
+    # the bench just ran.
+    src = CACHE
     if not args.skip_bench:
-        rc = _run_bench("populating .jax_cache/")
+        src = os.path.join(REPO, ".jax_cache_refresh")
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src)
+        rc = _run_bench("populating a fresh cache dir", cache_dir=src)
         if rc != 0:
             print(f"bench.py failed rc={rc}; not touching the artifacts",
                   file=sys.stderr)
             return rc
 
-    steps = _train_step_entries()
+    steps = _train_step_entries(src)
     if not steps:
-        print("no jit_train_step entry in .jax_cache/ — refusing to pack a "
+        print(f"no jit_train_step entry in {src} — refusing to pack a "
               "seed that cannot warm the capture", file=sys.stderr)
         return 1
     newest_step = steps[-1]
@@ -105,22 +120,22 @@ def main() -> int:
         print(f"keeping newest of {len(steps)} jit_train_step entries: "
               f"{newest_step} (dropping {len(steps) - 1} stale)")
 
-    # AOT artifact: compile (cache hit after step 1) + serialize. A
-    # subprocess so its jax config cannot leak into anything else.
+    # AOT artifact: compile (a cache hit against the fresh dir) +
+    # serialize. A subprocess so its jax config cannot leak elsewhere.
     print("packing .bench_aot.bin (AOT executable)...", flush=True)
     rc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "bench_aot.py"), "pack"],
-        cwd=REPO,
+        cwd=REPO, env=dict(os.environ, PODTPU_COMPILE_CACHE_DIR=src),
     ).returncode
     if rc != 0:
         print(f"bench_aot pack failed rc={rc}; seed will still be refreshed "
               "(the fallback path stays warm)", file=sys.stderr)
 
     entries = [newest_step] + sorted(
-        f for f in os.listdir(CACHE)
+        f for f in os.listdir(src)
         if f.endswith("-cache") and f.startswith(SMALL_PREFIXES)
     )
-    total = sum(os.path.getsize(os.path.join(CACHE, f)) for f in entries)
+    total = sum(os.path.getsize(os.path.join(src, f)) for f in entries)
     if total > MAX_SEED_BYTES:
         print(f"seed would be {total/1e6:.0f} MB (> {MAX_SEED_BYTES/1e6:.0f}"
               " MB cap) — the flagship program alone should be ~30 MB; "
@@ -129,7 +144,7 @@ def main() -> int:
     tmp = SEED + ".tmp"
     with tarfile.open(tmp, "w") as tf:
         for f in entries:
-            tf.add(os.path.join(CACHE, f), arcname=f)
+            tf.add(os.path.join(src, f), arcname=f)
     os.replace(tmp, SEED)
     print(f"packed {len(entries)} entries ({total/1e6:.1f} MB) -> {SEED}")
 
@@ -153,6 +168,17 @@ def main() -> int:
                   "warm a fresh workspace", file=sys.stderr)
             return 1
         print("verified: fresh-dir run hit the seeded entry (no recompile)")
+
+    if src != CACHE:
+        import shutil
+
+        # merge the refreshed entries into the live cache, then drop the dir
+        os.makedirs(CACHE, exist_ok=True)
+        for f in entries:
+            dest = os.path.join(CACHE, f)
+            if not os.path.exists(dest):
+                shutil.copy2(os.path.join(src, f), dest)
+        shutil.rmtree(src, ignore_errors=True)
 
     print("now commit:  git add .jax_cache_seed.tar .bench_aot.bin && "
           "git commit -m 'Refresh warm-capture artifacts'")
