@@ -23,9 +23,17 @@ This script therefore runs the actual measurement in a WORKER SUBPROCESS
   * the parent exits nonzero with a clear stderr message well inside the
     driver budget (BENCH_DEADLINE_S, default 540 s) instead of being killed
     silently by the driver's timeout;
-  * the worker enables the JAX persistent compilation cache on a repo-local
-    dir (.jax_cache/) so the train-step program compiles over the slow
-    tunnel once ever, not once per capture;
+  * FAST PATH (round 5): the worker first tries the tracked AOT artifact
+    .bench_aot.bin — the serialized COMPILED flagship executable
+    (tools/bench_aot.py) — and runs it with ZERO tracing/lowering/compile.
+    The warm trace+cache path still paid ~142 s of client-side retrace per
+    capture (RESULTS.md round-13); this removes the class. Any staleness
+    (version bump, shape change, unreadable file) falls back LOUDLY
+    ('AOT ARTIFACT STALE: ...') to the traced path. BENCH_DISABLE_AOT=1
+    forces the fallback;
+  * fallback: the JAX persistent compilation cache on a repo-local dir
+    (.jax_cache/; PODTPU_COMPILE_CACHE_DIR overrides) so the train-step
+    program compiles over the slow tunnel once ever, not once per capture;
   * the cache dir is untracked and a workspace reset (git clean / fresh
     clone between rounds) wipes it — observed at round-4 start, where the
     first capture died mid-cold-compile. The worker therefore re-seeds
@@ -33,6 +41,11 @@ This script therefore runs the actual measurement in a WORKER SUBPROCESS
     (podtpu.config.seed_compile_cache) before attaching; with the seed the
     warm path measured init 10 s + compile 148 s (train-step cache hit,
     ~6 s post-hit deserialize/upload) + timing 1.3 s;
+  * if the fallback compile MISSES the seeded cache (a new train-step
+    entry appears), the tail says 'SEED STALE (persistent-cache MISS)' and
+    names the fix (tools/refresh_cache_seed.py) — a jax/libtpu bump no
+    longer dies as an undiagnosable timeout. jax/jaxlib/device versions
+    are heartbeat-logged every capture;
   * a compile phase still running at COMPILE_TIMEOUT_S (330 s; warm max
     measured 293 s) is killed EARLY — it is a tunnel stall or a cold
     compile, neither finishes inside the deadline — so the one retry
