@@ -121,3 +121,46 @@ def test_gradient_accumulation_matches_big_batch():
     for a, b in zip(jax.tree_util.tree_leaves(p_big),
                     jax.tree_util.tree_leaves(p_acc)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+@pytest.mark.parametrize("model,expect_bias_decay", [
+    ("yolov1", True), ("yolov2", True),
+    ("yolov3", False), ("yolov4-tiny", False),
+])
+def test_decay_policy_family_defaults(model, expect_bias_decay):
+    """v1/v2 default to the reference's single-group decay-all
+    (yolov1_detector.py:47-56 / yolov2_detector.py:48-52 pass raw
+    model.parameters()); v3/v4-tiny keep the 3-group kernel-only mask
+    (yolov3_detector.py:52-64). One SGD step with zero gradients isolates
+    the decay term: a decayed leaf moves by -lr*wd*p, an exempt one stays."""
+    lr, wd = 0.1, 0.5
+    cfg = {"model": model, "optimizer": "sgd",
+           "optimizer_options": {"lr": lr, "weight_decay": wd},
+           "scheduler": None}
+    params = {"conv": {"kernel": jnp.ones((2, 2)), "bias": jnp.ones((2,))},
+              "bn": {"scale": jnp.ones((2,))}}
+    tx = build_optimizer(cfg, params)
+    state = tx.init(params)
+    zeros = {"conv": {"kernel": jnp.zeros((2, 2)),
+                      "bias": jnp.zeros((2,))},
+             "bn": {"scale": jnp.zeros((2,))}}
+    upd, _ = tx.update(zeros, state, params)
+    new = optax.apply_updates(params, upd)
+
+    # kernels decay under BOTH policies
+    np.testing.assert_allclose(np.asarray(new["conv"]["kernel"]),
+                               1.0 - lr * wd, rtol=1e-6)
+    moved = abs(float(new["conv"]["bias"][0]) - 1.0) > 1e-8
+    assert moved == expect_bias_decay
+    moved_scale = abs(float(new["bn"]["scale"][0]) - 1.0) > 1e-8
+    assert moved_scale == expect_bias_decay
+
+    # explicit override beats the family default
+    cfg_over = {**cfg, "optimizer_options":
+                {"lr": lr, "weight_decay": wd,
+                 "decay_policy": "kernels" if expect_bias_decay else "all"}}
+    tx2 = build_optimizer(cfg_over, params)
+    upd2, _ = tx2.update(zeros, tx2.init(params), params)
+    new2 = optax.apply_updates(params, upd2)
+    moved2 = abs(float(new2["conv"]["bias"][0]) - 1.0) > 1e-8
+    assert moved2 != expect_bias_decay
