@@ -70,7 +70,11 @@ def load_npz_weights(state, path: str, allow_partial: bool = False):
     params, miss_p = rebuild(state.params, "params" + SEP)
     stats, miss_s = rebuild(state.batch_stats, "batch_stats" + SEP)
     if allow_partial and (miss_p or miss_s):
-        print(f"partial load: {len(miss_p) + len(miss_s)} leaves kept at init")
+        n_total = (len(jax.tree_util.tree_leaves(state.params))
+                   + len(jax.tree_util.tree_leaves(state.batch_stats)))
+        n_miss = len(miss_p) + len(miss_s)
+        print(f"partial load: {n_total - n_miss}/{n_total} leaves loaded "
+              f"from {path}, {n_miss} kept at init")
     state = state.replace(params=params, batch_stats=stats)
     if getattr(state, "ema", None) is not None:
         # an EMA-enabled state's shadow must not stay at the (random) init
