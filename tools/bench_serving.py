@@ -65,6 +65,11 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--calib-batch", type=int, default=8)
+    ap.add_argument("--deploy-profile", action="store_true",
+                    help="overlay the recommended deployment profile "
+                         "(tta.hflip + nms_options.multi_label; xla_early "
+                         "NMS is already the default) so the benched "
+                         "artifact matches the README's serving recipe")
     ap.add_argument("--platform", type=str, default=None)
     args = ap.parse_args()
 
@@ -80,6 +85,10 @@ def main():
     from podtpu.train.state import create_train_state
 
     cfg = get_configs(args.cfg)
+    if args.deploy_profile:
+        cfg["tta"] = {"hflip": True}
+        cfg["nms_options"] = {**dict(cfg.get("nms_options") or {}),
+                              "multi_label": True}
     model = build_model(cfg)
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -100,6 +109,7 @@ def main():
         q = _bench(q_path, args.iters)
     print(json.dumps({
         "model": cfg["model"], "input_size": size,
+        "profile": "deploy" if args.deploy_profile else "plain",
         "float": {k: round(v, 2) for k, v in f.items()},
         "int8": {k: round(v, 2) for k, v in q.items()},
         "speedup": round(q["fps"] / f["fps"], 3),
