@@ -120,8 +120,11 @@ def main() -> int:
         print(f"keeping newest of {len(steps)} jit_train_step entries: "
               f"{newest_step} (dropping {len(steps) - 1} stale)")
 
-    # AOT artifact: compile (a cache hit against the fresh dir) +
-    # serialize. A subprocess so its jax config cannot leak elsewhere.
+    # AOT artifact: compile + serialize. The flat-step wrapper is a
+    # DIFFERENT program name than jit_train_step, so the first pack after a
+    # train-step change cold-compiles (~8-10 min over the tunnel; later
+    # packs hit the jit_flat_step entry the fresh dir now carries). A
+    # subprocess so its jax config cannot leak elsewhere.
     print("packing .bench_aot.bin (AOT executable)...", flush=True)
     rc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "bench_aot.py"), "pack"],
@@ -172,9 +175,13 @@ def main() -> int:
     if src != CACHE:
         import shutil
 
-        # merge the refreshed entries into the live cache, then drop the dir
+        # merge the refreshed entries into the live cache (plus the
+        # jit_flat_step AOT-pack program so the NEXT pack in this workspace
+        # hits instead of cold-compiling), then drop the dir
         os.makedirs(CACHE, exist_ok=True)
-        for f in entries:
+        extra = [f for f in os.listdir(src)
+                 if f.startswith("jit_flat_step-") and f.endswith("-cache")]
+        for f in entries + extra:
             dest = os.path.join(CACHE, f)
             if not os.path.exists(dest):
                 shutil.copy2(os.path.join(src, f), dest)
