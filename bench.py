@@ -88,6 +88,12 @@ ATTEMPT_TIMEOUT_S = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT_S", "420"))
 # compile (456-569 s), neither of which can finish inside DEADLINE_S — kill
 # it early so the retry (warm attempt ~160-300 s) still fits the budget.
 COMPILE_TIMEOUT_S = float(os.environ.get("BENCH_COMPILE_TIMEOUT_S", "330"))
+# The AOT path's "compile" phase is a ~150 MB executable upload, not a
+# compile: measured 3.6 s (server cache warm), 122.7 s, 278 s (cold, slow
+# tunnel). Kill it earlier than a real compile so the retry — which
+# ALWAYS runs the traced path (~130 s on the current backend) — still
+# fits; an AOT retry would pay the same slow upload again.
+AOT_UPLOAD_TIMEOUT_S = float(os.environ.get("BENCH_AOT_UPLOAD_TIMEOUT_S", "300"))
 
 _T0 = time.time()
 
@@ -199,16 +205,20 @@ def _emit(ips: float) -> None:
 class _Attempt:
     """One worker subprocess, monitored via its stderr heartbeats."""
 
-    def __init__(self) -> None:
+    def __init__(self, disable_aot: bool = False) -> None:
+        env = dict(os.environ)
+        if disable_aot:
+            env["BENCH_DISABLE_AOT"] = "1"
         self.proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker"],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
+            cwd=os.path.dirname(os.path.abspath(__file__)), env=env,
         )
         self.start = time.time()
         self.init_done = False
         self.compile_start_t: float | None = None
         self.compile_done = False
+        self.aot_upload = False
         self.last_line = ""
         self.json_line: str | None = None
         self._threads = [
@@ -227,6 +237,7 @@ class _Attempt:
                 self.init_done = True
             elif "compile_start" in line:
                 self.compile_start_t = time.time()
+                self.aot_upload = "AOT dispatch" in line
             elif "compile_done" in line:
                 self.compile_done = True
 
@@ -260,12 +271,15 @@ class _Attempt:
             self.kill()
             return (f"failed: device init exceeded {INIT_TIMEOUT_S:.0f}s "
                     f"(tunnel hang; last: {self.last_line!r})")
+        limit = AOT_UPLOAD_TIMEOUT_S if self.aot_upload else COMPILE_TIMEOUT_S
         if (self.compile_start_t is not None and not self.compile_done
-                and now - self.compile_start_t > COMPILE_TIMEOUT_S):
+                and now - self.compile_start_t > limit):
             self.kill()
-            return (f"failed: compile exceeded {COMPILE_TIMEOUT_S:.0f}s — "
-                    "tunnel stall or cold compile (is .jax_cache/ seeded "
-                    f"from .jax_cache_seed.tar?) (last: {self.last_line!r})")
+            what = ("AOT executable upload" if self.aot_upload
+                    else "compile (tunnel stall or cold compile — is "
+                         ".jax_cache/ seeded from .jax_cache_seed.tar?)")
+            return (f"failed: {what} exceeded {limit:.0f}s "
+                    f"(last: {self.last_line!r})")
         if now - self.start > ATTEMPT_TIMEOUT_S or now - _T0 > deadline:
             self.kill()
             return f"failed: attempt exceeded budget (last: {self.last_line!r})"
@@ -278,8 +292,12 @@ def main() -> None:
         if attempt == 2 and remaining < 150:
             _hb(f"no budget for retry ({remaining:.0f}s left)")
             break
-        _hb(f"attempt {attempt}: spawning worker (budget {remaining:.0f}s)")
-        a = _Attempt()
+        # the retry always takes the traced path: after an AOT failure
+        # (slow upload, stale artifact edge) the predictable ~130 s
+        # trace+compile beats re-paying the same upload
+        _hb(f"attempt {attempt}: spawning worker (budget {remaining:.0f}s"
+            + (", AOT disabled" if attempt == 2 else "") + ")")
+        a = _Attempt(disable_aot=(attempt == 2))
         while True:
             outcome = a.poll_outcome(deadline=DEADLINE_S - 30)
             if outcome == "ok":

@@ -138,17 +138,21 @@ def pack(path: str = ARTIFACT, batch: int = BATCH,
     ).lower(state_leaves, batch_leaves, rng).compile()
     hb(f"aot_pack: compiled in {time.time() - t0:.1f}s; serializing")
     payload, in_tree, out_tree = se.serialize(compiled)
-    blob = pickle.dumps({
+    import zlib
+
+    # zlib for the TRACKED file only (the raw executable is ~150 MB, ~5x
+    # compressible); the device still receives the raw bytes at load time
+    blob = zlib.compress(pickle.dumps({
         "fingerprint": env_fingerprint(batch, input_size),
         "payload": payload,
         "in_tree": in_tree,
         "out_tree": out_tree,
-    })
+    }), 6)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, path)
-    hb(f"aot_pack: wrote {path} ({len(blob) / 1e6:.1f} MB)")
+    hb(f"aot_pack: wrote {path} ({len(blob) / 1e6:.1f} MB compressed)")
     return path
 
 
@@ -162,7 +166,12 @@ def load(path: str = ARTIFACT, batch: int = BATCH,
         raise StaleArtifact(f"{os.path.basename(path)} missing")
     try:
         with open(path, "rb") as f:
-            d = pickle.load(f)
+            raw = f.read()
+        if raw[:1] == b"\x78":  # zlib-compressed (current format)
+            import zlib
+
+            raw = zlib.decompress(raw)
+        d = pickle.loads(raw)
     except Exception as e:
         raise StaleArtifact(f"unreadable artifact: {e!r}") from e
     fp = env_fingerprint(batch, input_size)
