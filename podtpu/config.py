@@ -84,11 +84,18 @@ def seed_compile_cache(cache_dir: str, seed_path: str | None = None) -> None:
         return
     try:
         # a process killed mid-extraction (the bench watchdog kills workers)
-        # strands its temp files; PIDs recycle, so clear leftovers first
+        # strands its temp files; PIDs recycle, so clear leftovers — but
+        # only AGED ones: a concurrent process (multi-process tests share
+        # this dir) may be mid-write of its own temp right now, and
+        # unlinking it would abort that extraction at os.replace
+        import time
+
         for stale in os.listdir(cache_dir):
             if ".seed." in stale:
+                p = os.path.join(cache_dir, stale)
                 try:
-                    os.unlink(os.path.join(cache_dir, stale))
+                    if time.time() - os.path.getmtime(p) > 300:
+                        os.unlink(p)
                 except OSError:
                     pass
         with tarfile.open(seed, "r") as tf:

@@ -48,7 +48,7 @@ class ImageFolderDataset:
     def __len__(self):
         return len(self.samples)
 
-    def get(self, index: int, seed: int):
+    def get(self, index: int, seed: int, augment: bool = True):
         rng = np.random.default_rng(seed)
         path, label = self.samples[index]
         img = cv2.imread(path)
@@ -56,7 +56,7 @@ class ImageFolderDataset:
             raise FileNotFoundError(path)
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         img = cv2.resize(img, (self.size, self.size))
-        if rng.random() < 0.5:
+        if augment and rng.random() < 0.5:
             img = np.ascontiguousarray(img[:, ::-1])
         return img.astype(np.float32) / 255.0, label
 
@@ -137,7 +137,7 @@ def main():
         vb = min(args.batch, len(val_ds))
         correct = total = 0
         for b in range(len(val_ds) // vb):
-            samples = [val_ds.get(i, seed=0)  # seed only gates the train-time flip
+            samples = [val_ds.get(i, seed=0, augment=False)
                        for i in range(b * vb, (b + 1) * vb)]
             imgs = jnp.asarray(np.stack([s[0] for s in samples]))
             labels = jnp.asarray(np.array([s[1] for s in samples]))

@@ -107,8 +107,14 @@ def test_seed_compile_cache(tmp_path, monkeypatch):
     cache_dir.mkdir()
     (cache_dir / "jit_init_fn-bbbb-cache").write_text("preexisting")
 
-    # a stale temp file from a previously killed extraction must be cleaned
+    # an AGED temp file from a previously killed extraction must be
+    # cleaned; a FRESH one (a concurrent process mid-write) must survive
+    import time
+
     (cache_dir / "jit_x-cache.seed.12345").write_text("stale temp")
+    os.utime(cache_dir / "jit_x-cache.seed.12345",
+             (time.time() - 600, time.time() - 600))
+    (cache_dir / "jit_y-cache.seed.67890").write_text("in-flight temp")
 
     seed_compile_cache(str(cache_dir), seed_path=str(seed))
 
@@ -119,8 +125,10 @@ def test_seed_compile_cache(tmp_path, monkeypatch):
     assert (cache_dir / "jit_evil-cccc-cache").read_text() == "traversal"
     assert not (tmp_path / "jit_evil-cccc-cache").exists()
     assert not (cache_dir / "notes.txt").exists()
-    # no temp files left behind — including the pre-existing stale one
-    assert not list(cache_dir.glob("*.seed.*"))
+    # the extractor's own temps and the AGED leftover are gone; the fresh
+    # (concurrent) temp survives untouched
+    assert [p.name for p in cache_dir.glob("*.seed.*")] == [
+        "jit_y-cache.seed.67890"]
 
 
 def test_seed_compile_cache_env_override_and_corrupt_warns(tmp_path, monkeypatch):

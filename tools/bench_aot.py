@@ -46,6 +46,28 @@ class StaleArtifact(RuntimeError):
     """The AOT artifact cannot serve this environment; fall back loudly."""
 
 
+def _train_step_source_hash() -> str:
+    """sha256 over every source file the compiled step can depend on (the
+    whole podtpu package + the flagship-cfg and input-builder modules).
+    Deliberately conservative: ANY library change invalidates the
+    artifact — the cost is one loud fallback to the traced path (~130 s),
+    vs silently benchmarking a stale pre-change executable forever."""
+    import hashlib
+
+    h = hashlib.sha256()
+    pkg = os.path.join(REPO, "podtpu")
+    files = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(pkg) for f in fs if f.endswith(".py")
+    ) + [os.path.join(REPO, "__graft_entry__.py"),
+         os.path.join(REPO, "tools", "bench_family.py")]
+    for p in files:
+        h.update(os.path.relpath(p, REPO).encode())
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
 def env_fingerprint(batch: int = BATCH, input_size: int = INPUT_SIZE) -> dict:
     import jax
     import jaxlib
@@ -59,37 +81,19 @@ def env_fingerprint(batch: int = BATCH, input_size: int = INPUT_SIZE) -> dict:
         "n_devices": len(jax.devices()),
         "batch": batch,
         "input_size": input_size,
+        "source": _train_step_source_hash(),
     }
 
 
 def _build_inputs(batch: int = BATCH, input_size: int = INPUT_SIZE):
-    """State + synthetic device batch, bit-identical to tools/bench_family.bench
-    (same cfg, same RNG streams) so AOT and traced paths time the same program
-    on the same data."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
+    """Flagship state + synthetic device batch via the SHARED builder
+    (tools/bench_family.build_inputs) so AOT and traced paths time the
+    same program on the same data by construction."""
     from __graft_entry__ import _flagship_cfg
-    from podtpu.parallel.mesh import make_mesh, replicated_sharding, shard_batch
-    from podtpu.train.state import create_train_state
+    from tools.bench_family import build_inputs
 
     cfg = _flagship_cfg(input_size=input_size, compute_dtype="bfloat16")
-    mesh = make_mesh()
-    rng = jax.random.PRNGKey(0)
-    state = create_train_state(cfg, rng)
-    state = jax.device_put(state, replicated_sharding(mesh))
-
-    imgs = jax.jit(lambda k: jax.random.uniform(
-        k, (batch, input_size, input_size, 3), jnp.float32))(jax.random.PRNGKey(1))
-    r = np.random.default_rng(0)
-    annot = -np.ones((batch, cfg["max_annots"], 5), np.float32)
-    for b in range(batch):
-        for i in range(min(8, cfg["max_annots"])):
-            cx, cy = r.uniform(0.1, 0.9, 2)
-            w, h = r.uniform(0.05, 0.4, 2)
-            annot[b, i] = [cx, cy, w, h, r.integers(0, cfg["num_classes"])]
-    dbatch = shard_batch({"img": imgs, "annot": annot}, mesh)
+    mesh, state, dbatch, rng = build_inputs(cfg, batch)
     return cfg, mesh, state, dbatch, rng
 
 
@@ -193,11 +197,13 @@ def bench_aot(batch: int = BATCH, input_size: int = INPUT_SIZE,
     tools/bench_family.bench, minus every trace/lower/compile phase."""
     import jax
 
-    _, _, state, dbatch, rng = _build_inputs(batch, input_size)
+    # staleness check FIRST: a stale artifact must not pay the ~10 s
+    # device-state build that the traced fallback then repeats
     hb("aot_load: deserializing packed executable (no retrace)")
     t0 = time.time()
     loaded = load(path, batch, input_size)
     hb(f"aot_load done in {time.time() - t0:.1f}s")
+    _, _, state, dbatch, rng = _build_inputs(batch, input_size)
 
     state_leaves = jax.tree_util.tree_leaves(state)
     batch_leaves = jax.tree_util.tree_leaves(dbatch)
@@ -206,10 +212,18 @@ def bench_aot(batch: int = BATCH, input_size: int = INPUT_SIZE,
         jax.block_until_ready(loss)
         jax.device_get(loss)
 
-    # first call uploads the executable to the chip; fence it separately
+    # first call uploads the executable to the chip; fence it separately.
+    # Execute-time failures here are staleness the fingerprint cannot see
+    # (e.g. tunnel-side compiler drift with unchanged client versions) —
+    # raise StaleArtifact so bench.py falls back in-process instead of
+    # burning the whole attempt.
     hb("compile_start: first AOT dispatch (upload, no compile)")
-    state_leaves, loss = loaded(state_leaves, batch_leaves, rng)
-    fence(loss)
+    try:
+        state_leaves, loss = loaded(state_leaves, batch_leaves, rng)
+        fence(loss)
+    except Exception as e:
+        raise StaleArtifact(
+            f"deserialized program failed to execute: {e!r}") from e
     hb("compile_done: AOT dispatch live; warming up")
     for _ in range(warmup - 1):
         state_leaves, loss = loaded(state_leaves, batch_leaves, rng)

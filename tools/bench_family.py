@@ -22,21 +22,17 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench(cfg: dict, batch: int, warmup: int = 3, iters: int = 10,
-          hb=None, ksteps: int = 1) -> float:
-    """``ksteps > 1``: wrap K train steps in ONE dispatched program (a
-    ``lax.scan`` over the step, carrying the donated state) — the dispatch/
-    tunnel amortizer for small models. roofline_budget measured yolov4-tiny
-    at 44.6 ms device vs 59.5 ms bench wall (~25% per-step dispatch gap,
-    commit 542bb22); the earlier "K-step loop neutral" ledger entry was
-    yolov3-only (~10% gap). Throughput normalizes per underlying step."""
+def build_inputs(cfg: dict, batch: int, hb=None):
+    """Replicated device state + synthetic device-resident batch.
+
+    The ONE input-construction path shared by the traced bench below and
+    the AOT capture (tools/bench_aot.py), so both time the same program on
+    identical data by construction, not by copy-paste."""
     from podtpu.parallel.mesh import make_mesh, replicated_sharding, shard_batch
     from podtpu.train.state import create_train_state
-    from podtpu.train.steps import make_train_step
 
     hb = hb or (lambda msg: None)
     mesh = make_mesh()
-    n_chips = len(jax.devices())
     rng = jax.random.PRNGKey(0)
     # create_train_state jits its array-producing init (one dispatch, not
     # ~70 eager tunnel round trips — ~131 s measured in the round-3 harness)
@@ -57,6 +53,23 @@ def bench(cfg: dict, batch: int, warmup: int = 3, iters: int = 10,
             w, h = r.uniform(0.05, 0.4, 2)
             annot[b, i] = [cx, cy, w, h, r.integers(0, cfg["num_classes"])]
     dbatch = shard_batch({"img": imgs, "annot": annot}, mesh)
+    return mesh, state, dbatch, rng
+
+
+def bench(cfg: dict, batch: int, warmup: int = 3, iters: int = 10,
+          hb=None, ksteps: int = 1) -> float:
+    """``ksteps > 1``: wrap K train steps in ONE dispatched program (a
+    ``lax.scan`` over the step, carrying the donated state) — the dispatch/
+    tunnel amortizer for small models. roofline_budget measured yolov4-tiny
+    at 44.6 ms device vs 59.5 ms bench wall (~25% per-step dispatch gap,
+    commit 542bb22); the earlier "K-step loop neutral" ledger entry was
+    yolov3-only (~10% gap; post-drift ~11% on v4-tiny too, RESULTS
+    round-14). Throughput normalizes per underlying step."""
+    from podtpu.train.steps import make_train_step
+
+    hb = hb or (lambda msg: None)
+    n_chips = len(jax.devices())
+    mesh, state, dbatch, rng = build_inputs(cfg, batch, hb)
 
     if ksteps > 1:
         import functools

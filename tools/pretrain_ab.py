@@ -51,7 +51,9 @@ def stage_pretrain(platform: str | None) -> None:
 
     cls_train = os.path.join(WORK, "cls", "train")
     cls_val = os.path.join(WORK, "cls", "val")
-    if not os.path.isdir(cls_train):
+    # guard on the LAST artifact written: a crash between the two
+    # generations must not leave a skipped-but-incomplete state
+    if not os.path.isdir(cls_val):
         generate_classification(cls_train, n_per_class=250, size=64,
                                 num_classes=20, seed=11)
         generate_classification(cls_val, n_per_class=50, size=64,

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import shutil
 import subprocess
 import sys
 import tarfile
@@ -100,8 +101,6 @@ def main() -> int:
     src = CACHE
     if not args.skip_bench:
         src = os.path.join(REPO, ".jax_cache_refresh")
-        import shutil
-
         shutil.rmtree(src, ignore_errors=True)
         os.makedirs(src)
         rc = _run_bench("populating a fresh cache dir", cache_dir=src)
@@ -155,8 +154,6 @@ def main() -> int:
         # wipe-recovery rehearsal: run against an EMPTY cache dir seeded
         # only from the fresh tarball; a MISS writes a second train-step
         # entry there, which fails the assert.
-        import shutil
-
         vdir = os.path.join(REPO, ".jax_cache_verify")
         shutil.rmtree(vdir, ignore_errors=True)
         os.makedirs(vdir)
@@ -173,8 +170,6 @@ def main() -> int:
         print("verified: fresh-dir run hit the seeded entry (no recompile)")
 
     if src != CACHE:
-        import shutil
-
         # merge the refreshed entries into the live cache (plus the
         # jit_flat_step AOT-pack program so the NEXT pack in this workspace
         # hits instead of cold-compiling), then drop the dir
